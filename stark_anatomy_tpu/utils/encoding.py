@@ -1,0 +1,79 @@
+"""Canonical encodings between field elements, bytes, and proof items.
+
+The reference wires Merkle leaves as pre-hashed [u8;64] (merkle.rs:35) and
+leaves the field-element -> bytes -> leaf mapping to the (absent) STARK layer
+(SURVEY.md section 1). These are our framework's pinned definitions; they are
+part of the proof format and must never change:
+
+- field element -> bytes: 16-byte little-endian of the canonical (fully
+  reduced) representative;
+- a Merkle leaf for a tuple of field elements = Blake2b-512 of the
+  concatenated 16-byte encodings;
+- proof items carry field elements as decimal strings, digests as lowercase
+  hex strings (JSON-safe; see iop/proof_stream.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List, Sequence
+
+from stark_anatomy_tpu.ops.field import PRIME
+
+FELT_BYTES = 16  # 128-bit field elements
+
+
+def felt_to_bytes(value: int) -> bytes:
+    """Canonical 16-byte little-endian encoding of a field element."""
+    return (value % PRIME).to_bytes(FELT_BYTES, "little")
+
+
+def bytes_to_felt(data: bytes) -> int:
+    if len(data) != FELT_BYTES:
+        raise ValueError(f"expected {FELT_BYTES} bytes, got {len(data)}")
+    value = int.from_bytes(data, "little")
+    if value >= PRIME:
+        raise ValueError("non-canonical field element encoding")
+    return value
+
+
+def felts_to_bytes(values: Iterable[int]) -> bytes:
+    return b"".join(felt_to_bytes(v) for v in values)
+
+
+def hash_felts(values: Sequence[int]) -> bytes:
+    """Blake2b-512 leaf digest of a tuple of field elements."""
+    return hashlib.blake2b(felts_to_bytes(values), digest_size=64).digest()
+
+
+# -- JSON proof-item encodings --------------------------------------------
+
+
+def felt_to_item(value: int) -> str:
+    return str(value % PRIME)
+
+
+def item_to_felt(item: str) -> int:
+    value = int(item)
+    if not 0 <= value < PRIME:
+        raise ValueError("field element item out of range")
+    return value
+
+
+def felts_to_item(values: Sequence[int]) -> List[str]:
+    return [felt_to_item(v) for v in values]
+
+
+def item_to_felts(items: Sequence[str]) -> List[int]:
+    return [item_to_felt(i) for i in items]
+
+
+def digest_to_item(digest: bytes) -> str:
+    return digest.hex()
+
+
+def item_to_digest(item: str) -> bytes:
+    data = bytes.fromhex(item)
+    if len(data) != 64:
+        raise ValueError("expected a 64-byte digest")
+    return data

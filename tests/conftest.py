@@ -1,0 +1,16 @@
+"""Test environment: force the JAX CPU backend with 8 virtual devices.
+
+Tests are bit-exact integer math, so CPU vs TPU makes no numerical
+difference; 8 virtual devices let the mesh/sharding tests (tests/test_mesh.py)
+exercise real multi-device lowering without TPU hardware (SURVEY.md section 4).
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
