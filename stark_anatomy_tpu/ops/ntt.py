@@ -1,0 +1,194 @@
+"""Radix-2 NTT / iNTT, coset low-degree extension, polynomial multiply.
+
+Absent in the reference (SURVEY.md section 0) — this implements the
+polynomial layer the STARK stack needs, TPU-first:
+
+- codewords are Montgomery-form limb arrays of shape ``(8, n)``
+  (ops/limbs.py); all butterflies are vectorized VPU ops, no scalar loops;
+- iterative decimation-in-time over the 2-adic subgroup of F_p
+  (2-adicity 119, ops/field.py), bit-reversal as one precomputed gather;
+- twiddle tables are built ON DEVICE by repeated doubling (log n batched
+  Montgomery multiplies) — no host big-int loops on the hot path;
+- low-degree extension evaluates on a coset offset*<omega_L> so the LDE
+  domain is disjoint from the trace domain (required by the DEEP-style
+  quotienting in iop/stark.py).
+
+Conventions: `ntt` maps coefficients (natural order) -> evaluations on
+<omega_n> in natural order (eval[i] = P(omega^i)); `intt` is its exact
+inverse. Everything is exact integer math — outputs are bit-identical on
+CPU and TPU and across mesh shapes (the sharded variant in
+parallel/ntt_sharded.py is tested to match element-for-element).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops.field import PRIME, finv, primitive_root_of_unity
+from stark_anatomy_tpu.ops.limbs import NUM_LIMBS, int_to_limbs
+
+__all__ = [
+    "ntt",
+    "intt",
+    "coset_lde",
+    "coset_evaluate",
+    "coset_interpolate",
+    "poly_mul",
+    "powers",
+    "bit_reverse_indices",
+]
+
+
+def _is_pow2(n: int) -> bool:
+    return n >= 1 and (n & (n - 1)) == 0
+
+
+@lru_cache(maxsize=64)
+def bit_reverse_indices(n: int) -> np.ndarray:
+    """Permutation indices reversing log2(n)-bit indices (host, cached)."""
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros_like(idx)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    return rev
+
+
+@partial(jax.jit, static_argnames=("count",))
+def _powers_device(base_mont: jax.Array, count: int) -> jax.Array:
+    """[1, w, w^2, ..., w^(count-1)] in Montgomery form via doubling.
+
+    count must be a power of two. log2(count) batched mont_muls total.
+    """
+    one_m = jnp.asarray(int_to_limbs((1 << 128) % PRIME), dtype=jnp.uint32)
+    table = one_m.reshape(NUM_LIMBS, 1)
+    w_k = base_mont.reshape(NUM_LIMBS, 1)  # w^(2^k) after k doublings... w^len
+    while table.shape[1] < count:
+        # table holds [w^0 .. w^(L-1)]; w_k holds w^L; extend to 2L.
+        table = jnp.concatenate([table, fj.mont_mul(table, w_k)], axis=1)
+        w_k = fj.mont_mul(w_k, w_k)
+    return table
+
+
+@lru_cache(maxsize=64)
+def _twiddles(n: int, inverse: bool) -> jax.Array:
+    """(8, n//2) Montgomery-form table [w^0 .. w^(n/2-1)], w = omega_n^(+-1)."""
+    w = primitive_root_of_unity(n)
+    if inverse:
+        w = finv(w)
+    w_mont = jnp.asarray(int_to_limbs(w * (1 << 128) % PRIME), dtype=jnp.uint32)
+    count = max(n // 2, 1)
+    return _powers_device(w_mont, count)
+
+
+def powers(base: int, count: int) -> jax.Array:
+    """(8, count) Montgomery-form powers [base^0 .. base^(count-1)].
+
+    count is rounded up to a power of two internally and truncated.
+    """
+    cap = 1
+    while cap < count:
+        cap *= 2
+    base_mont = jnp.asarray(int_to_limbs(base * (1 << 128) % PRIME), dtype=jnp.uint32)
+    return _powers_device(base_mont, cap)[:, :count]
+
+
+@partial(jax.jit, static_argnames=("stages",))
+def _ntt_core(x: jax.Array, tw: jax.Array, stages: int) -> jax.Array:
+    """DIT butterflies on bit-reversed input -> natural-order output.
+
+    x: (8, n) Montgomery form, already bit-reverse permuted.
+    tw: (8, n//2) twiddle table [w^0 .. w^(n/2-1)].
+    """
+    n = x.shape[1]
+    for s in range(1, stages + 1):
+        m = 1 << s
+        stride = n // m
+        w = tw[:, ::stride][:, : m // 2].reshape(NUM_LIMBS, 1, m // 2)
+        xs = x.reshape(NUM_LIMBS, n // m, 2, m // 2)
+        even, odd = xs[:, :, 0, :], xs[:, :, 1, :]
+        t = fj.mont_mul(odd, jnp.broadcast_to(w, odd.shape))
+        x = jnp.concatenate([fj.add(even, t), fj.sub(even, t)], axis=-1).reshape(
+            NUM_LIMBS, n
+        )
+    return x
+
+
+def ntt(coeffs_mont: jax.Array) -> jax.Array:
+    """Coefficients -> evaluations on <omega_n>, natural order, Montgomery form."""
+    n = coeffs_mont.shape[-1]
+    if not _is_pow2(n):
+        raise ValueError(f"NTT size must be a power of two, got {n}")
+    if n == 1:
+        return coeffs_mont
+    rev = jnp.asarray(bit_reverse_indices(n))
+    x = coeffs_mont[:, rev]
+    return _ntt_core(x, _twiddles(n, inverse=False), n.bit_length() - 1)
+
+
+def intt(evals_mont: jax.Array) -> jax.Array:
+    """Inverse NTT: evaluations on <omega_n> -> coefficients."""
+    n = evals_mont.shape[-1]
+    if not _is_pow2(n):
+        raise ValueError(f"NTT size must be a power of two, got {n}")
+    if n == 1:
+        return evals_mont
+    rev = jnp.asarray(bit_reverse_indices(n))
+    x = evals_mont[:, rev]
+    y = _ntt_core(x, _twiddles(n, inverse=True), n.bit_length() - 1)
+    n_inv = finv(n)
+    n_inv_mont = fj.full((1,), n_inv, mont=True)
+    return fj.mont_mul(y, jnp.broadcast_to(n_inv_mont, y.shape))
+
+
+def coset_evaluate(coeffs_mont: jax.Array, domain_len: int, offset: int) -> jax.Array:
+    """Evaluate a polynomial on the coset offset*<omega_L>, L = domain_len.
+
+    coeffs may be shorter than L (zero-padded). Returns (8, L) evaluations,
+    eval[i] = P(offset * omega_L^i), Montgomery form.
+    """
+    n = coeffs_mont.shape[-1]
+    if n > domain_len:
+        raise ValueError("polynomial longer than the target domain")
+    off = powers(offset, n)
+    scaled = fj.mont_mul(coeffs_mont, off)
+    if n < domain_len:
+        pad = fj.zeros((domain_len - n,))
+        scaled = jnp.concatenate([scaled, pad], axis=1)
+    return ntt(scaled)
+
+
+def coset_interpolate(evals_mont: jax.Array, offset: int) -> jax.Array:
+    """Inverse of coset_evaluate at the same length: evals -> coefficients."""
+    n = evals_mont.shape[-1]
+    coeffs_scaled = intt(evals_mont)
+    off_inv = powers(finv(offset), n)
+    return fj.mont_mul(coeffs_scaled, off_inv)
+
+
+def coset_lde(
+    coeffs_mont: jax.Array, blowup: int, offset: int
+) -> jax.Array:
+    """Low-degree extension: length-n coefficients -> blowup*n coset evals."""
+    n = coeffs_mont.shape[-1]
+    if not _is_pow2(blowup):
+        raise ValueError("blowup must be a power of two")
+    return coset_evaluate(coeffs_mont, n * blowup, offset)
+
+
+def poly_mul(a_mont: jax.Array, b_mont: jax.Array) -> jax.Array:
+    """Dense polynomial product via NTT. Output length = len(a)+len(b)-1."""
+    la, lb = a_mont.shape[-1], b_mont.shape[-1]
+    out_len = la + lb - 1
+    n = 1
+    while n < out_len:
+        n *= 2
+    pa = jnp.concatenate([a_mont, fj.zeros((n - la,))], axis=1)
+    pb = jnp.concatenate([b_mont, fj.zeros((n - lb,))], axis=1)
+    prod = fj.mont_mul(ntt(pa), ntt(pb))
+    return intt(prod)[:, :out_len]
