@@ -8,7 +8,10 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the environment ships JAX_PLATFORMS=axon (the
+# real-TPU tunnel), and running the bit-exact unit suite over the tunnel
+# is both slow (every compile crosses the wire) and unnecessary.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,119 @@
+"""Merkle tree: root parity with a hashlib oracle, path semantics, and the
+reference's adversarial soundness suite (merkle.rs:178-282) re-created."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
+from stark_anatomy_tpu.ops.field import PRIME
+from stark_anatomy_tpu.ops.limbs import ints_to_limbs
+from stark_anatomy_tpu.utils.encoding import hash_felts
+
+
+def _oracle_root(leaves: list[bytes]) -> bytes:
+    level = list(leaves)
+    while len(level) > 1:
+        level = [
+            hashlib.blake2b(level[2 * i] + level[2 * i + 1], digest_size=64).digest()
+            for i in range(len(level) // 2)
+        ]
+    return level[0]
+
+
+def _random_leaves(n: int, seed: int = 0) -> list[bytes]:
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, size=64, dtype=np.uint8).tobytes() for _ in range(n)]
+
+
+@pytest.mark.parametrize("n", [2, 4, 64, 256])
+def test_root_matches_oracle(n):
+    leaves = _random_leaves(n)
+    assert MerkleTree.commit_bytes(leaves).root == _oracle_root(leaves)
+
+
+def test_every_leaf_verifies():
+    # merkle.rs:178-187 (N=64, every index).
+    leaves = _random_leaves(64, seed=1)
+    tree = MerkleTree.commit_bytes(leaves)
+    for i, leaf in enumerate(leaves):
+        path = tree.open(i)
+        assert len(path) == 6
+        assert tree.verify(leaf, path, i)
+
+
+def test_open_path_equals_recommit_path():
+    # The reference's open() recommits sibling subtrees (merkle.rs:85-101);
+    # ours reads stored levels. Check path equality via the oracle.
+    leaves = _random_leaves(16, seed=2)
+    tree = MerkleTree.commit_bytes(leaves)
+    for index in range(16):
+        path = tree.open(index)
+        # Reference order: leaf-level sibling first (merkle.rs:104-106).
+        assert path[0] == leaves[index ^ 1]
+        # Recompute each sibling subtree root the reference's way.
+        lo, hi, idx = 0, 16, index
+        ref_path_top_down = []
+        while hi - lo > 2:
+            mid = (lo + hi) // 2
+            if idx < mid:
+                ref_path_top_down.append(_oracle_root(leaves[mid:hi]))
+                hi = mid
+            else:
+                ref_path_top_down.append(_oracle_root(leaves[lo:mid]))
+                lo = mid
+        ref_path_top_down.append(leaves[(idx ^ 1)])
+        assert path == ref_path_top_down[::-1]
+
+
+def test_adversarial_failures():
+    # merkle.rs:229-282: every tamper must fail.
+    leaves = _random_leaves(64, seed=3)
+    other = _random_leaves(64, seed=4)
+    tree = MerkleTree.commit_bytes(leaves)
+    other_tree = MerkleTree.commit_bytes(other)
+    idx = 17
+    path = tree.open(idx)
+    assert tree.verify(leaves[idx], path, idx)
+    # Random leaf on a real path.
+    assert not tree.verify(other[0], path, idx)
+    # Swapped leaf (another real leaf).
+    assert not tree.verify(leaves[idx ^ 1], path, idx)
+    # Wrong index.
+    assert not tree.verify(leaves[idx], path, idx + 1)
+    # Tampered root.
+    assert not verify_path(b"\x00" * 64, leaves[idx], path, idx)
+    # Every-position path tampering.
+    for pos in range(len(path)):
+        bad = list(path)
+        bad[pos] = other[1]
+        assert not tree.verify(leaves[idx], bad, idx)
+    # Path from a different tree.
+    assert not other_tree.verify(leaves[idx], path, idx)
+
+
+def test_verify_asserts():
+    leaves = _random_leaves(4, seed=5)
+    tree = MerkleTree.commit_bytes(leaves)
+    path = tree.open(0)
+    with pytest.raises(ValueError):
+        verify_path(tree.root, leaves[0], [], 0)  # empty path (merkle.rs:126)
+    with pytest.raises(ValueError):
+        verify_path(tree.root, leaves[0], path, 1 << len(path))  # merkle.rs:122
+
+
+def test_commit_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        MerkleTree.commit_bytes(_random_leaves(3, seed=6))
+
+
+def test_felt_leaf_hashing_matches_host_encoding():
+    rng = np.random.default_rng(8)
+    n = 32
+    cols = [[int(x) for x in rng.integers(0, 1 << 63, size=n)] for _ in range(3)]
+    cols[0][0] = PRIME - 1  # boundary value
+    device = hash_felt_leaves([ints_to_limbs(c) for c in cols])
+    tree = MerkleTree.commit(device)
+    expected_leaves = [hash_felts([cols[k][i] for k in range(3)]) for i in range(n)]
+    assert tree.root == _oracle_root(expected_leaves)
