@@ -1,0 +1,289 @@
+"""FRI low-degree proof: device-folded commit, host query/verify.
+
+The reference contains no FRI (SURVEY.md section 0); this implements the
+split-and-fold FRI of Szepieniec's "Anatomy of a STARK" tutorial (the
+protocol the reference repo is a port of, per the links at
+/root/reference/src/field/types/field.rs:14), re-architected TPU-first:
+
+- each folding round is pure device math on (8, n) Montgomery limb arrays:
+  new[i] = 2^-1 * ((1 + alpha/d_i) * c[i] + (1 - alpha/d_i) * c[i+n/2]),
+  d_i = offset * omega^i — one fused elementwise pass, no scalar loops;
+- codeword commitments use the batched device Merkle/Blake2b pipeline
+  (iop/merkle.py); leaves are single canonical field elements
+  (utils/encoding.py leaf rule);
+- the Fiat-Shamir transcript, index sampling, colinearity checks and path
+  verification are host-side exact integer work (iop/proof_stream.py,
+  ops/field.py) — tiny compared to folding/hashing.
+
+Transcript item layout (all JSON-safe, see utils/encoding.py):
+  {"fri_root": hex64}                          per round
+  {"fri_last_codeword": [dec, ...]}            once
+  {"fri_points": [[a,b,c] dec, ...]}           per query round
+  {"fri_paths": [[hex64...] x 3, ...]}         per query round
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
+from stark_anatomy_tpu.iop.proof_stream import ProofStream
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import ntt as nttmod
+from stark_anatomy_tpu.ops.field import (
+    PRIME,
+    finv,
+    primitive_root_of_unity,
+    sample_field_element,
+    sample_indices,
+)
+from stark_anatomy_tpu.ops.limbs import (
+    R_MOD_P,
+    int_to_limbs,
+    ints_to_limbs,
+    limbs_to_ints,
+)
+from stark_anatomy_tpu.utils.encoding import (
+    digest_to_item,
+    felt_to_item,
+    hash_felts,
+    item_to_digest,
+    item_to_felt,
+)
+
+
+def _const_mont(value: int, n: int) -> jnp.ndarray:
+    """(8, n) broadcast of a host int in Montgomery form."""
+    c = jnp.asarray(int_to_limbs(value * R_MOD_P % PRIME), dtype=jnp.uint32)
+    return jnp.broadcast_to(c.reshape(8, 1), (8, n))
+
+
+@lru_cache(maxsize=128)
+def _inv_domain_mont(offset: int, omega: int, half: int) -> jnp.ndarray:
+    """(8, half) table of d_i^{-1} = offset^{-1} * omega^{-i}, Montgomery."""
+    tab = nttmod.powers(finv(omega), half)
+    return fj.mont_mul(tab, _const_mont(finv(offset), half))
+
+
+def fold(codeword_mont: jnp.ndarray, alpha: int, offset: int, omega: int) -> jnp.ndarray:
+    """One FRI fold on device. codeword: (8, n) Montgomery form.
+
+    Returns the length-n/2 codeword of the alpha-combined even/odd parts,
+    living on the squared domain offset^2 * <omega^2>.
+    """
+    n = codeword_mont.shape[-1]
+    half = n // 2
+    lo, hi = codeword_mont[:, :half], codeword_mont[:, half:]
+    au = fj.mont_mul(_const_mont(alpha, half), _inv_domain_mont(offset, omega, half))
+    one = _const_mont(1, half)
+    t = fj.add(fj.mont_mul(fj.add(one, au), lo), fj.mont_mul(fj.sub(one, au), hi))
+    return fj.mont_mul(_const_mont(finv(2), half), t)
+
+
+def colinearity_check(points: List[Tuple[int, int]]) -> bool:
+    """True iff the (exactly 3) points lie on one line over F_p."""
+    (x0, y0), (x1, y1), (x2, y2) = points
+    return ((y2 - y0) * (x1 - x0) - (y1 - y0) * (x2 - x0)) % PRIME == 0
+
+
+@dataclass(frozen=True)
+class Fri:
+    """FRI prover/verifier for one fixed evaluation domain.
+
+    offset: coset shift of the evaluation domain (must generate a coset
+    disjoint from any trace domain above — the STARK layer passes the field
+    generator); domain_length: power-of-two size of the top codeword;
+    expansion_factor: blowup (codeword length / max degree bound);
+    num_colinearity_tests: soundness repetitions.
+    """
+
+    offset: int
+    domain_length: int
+    expansion_factor: int
+    num_colinearity_tests: int
+
+    def __post_init__(self):
+        if self.domain_length & (self.domain_length - 1):
+            raise ValueError("domain_length must be a power of two")
+        if self.expansion_factor & (self.expansion_factor - 1):
+            raise ValueError("expansion_factor must be a power of two")
+
+    @property
+    def omega(self) -> int:
+        return primitive_root_of_unity(self.domain_length)
+
+    @property
+    def num_rounds(self) -> int:
+        codeword_length = self.domain_length
+        num = 0
+        while (
+            codeword_length > self.expansion_factor
+            and 4 * self.num_colinearity_tests < codeword_length
+        ):
+            codeword_length //= 2
+            num += 1
+        return num
+
+    def eval_domain(self) -> List[int]:
+        """[offset * omega^i] as host ints (verifier-side)."""
+        omega = self.omega
+        out, cur = [], 1
+        for _ in range(self.domain_length):
+            out.append(self.offset * cur % PRIME)
+            cur = cur * omega % PRIME
+        return out
+
+    # -- prover ------------------------------------------------------------
+
+    def prove(self, codeword_mont: jnp.ndarray, proof_stream: ProofStream) -> List[int]:
+        """Commit + query phases. Returns the top-level query indices.
+
+        codeword_mont: (8, domain_length) Montgomery-form limb array of the
+        codeword to be proven close to degree < domain_length/expansion.
+        """
+        if codeword_mont.shape[-1] != self.domain_length:
+            raise ValueError("codeword length != configured domain length")
+        rounds = self.num_rounds
+        omega, offset = self.omega, self.offset
+
+        codewords_host: List[np.ndarray] = []  # canonical ints per round
+        trees: List[MerkleTree] = []
+        codeword = codeword_mont
+        for r in range(rounds):
+            standard = fj.from_mont(codeword)
+            values = limbs_to_ints(np.asarray(standard))
+            tree = MerkleTree.commit(hash_felt_leaves([standard]))
+            codewords_host.append(values)
+            trees.append(tree)
+            proof_stream.push({"fri_root": digest_to_item(tree.root)})
+            if r == rounds - 1:
+                break
+            alpha = sample_field_element(proof_stream.prover_fiat_shamir())
+            codeword = fold(codeword, alpha, offset, omega)
+            omega = omega * omega % PRIME
+            offset = offset * offset % PRIME
+
+        proof_stream.push(
+            {"fri_last_codeword": [felt_to_item(int(v)) for v in codewords_host[-1]]}
+        )
+
+        # Query phase: indices from the transcript AFTER the last codeword.
+        top_indices = sample_indices(
+            proof_stream.prover_fiat_shamir(),
+            self.domain_length // 2,
+            self.domain_length >> rounds,
+            self.num_colinearity_tests,
+        )
+        indices = list(top_indices)
+        for r in range(rounds - 1):
+            n = self.domain_length >> r
+            indices = [i % (n // 2) for i in indices]
+            self._query_round(
+                codewords_host[r], trees[r], codewords_host[r + 1], trees[r + 1],
+                indices, proof_stream,
+            )
+        return top_indices
+
+    def _query_round(self, current, current_tree, nxt, next_tree, indices, proof_stream):
+        half = len(current) // 2
+        points = []
+        paths = []
+        for i in indices:
+            a, b, c = int(current[i]), int(current[i + half]), int(nxt[i])
+            points.append([felt_to_item(a), felt_to_item(b), felt_to_item(c)])
+            paths.append(
+                [
+                    [digest_to_item(d) for d in current_tree.open(i)],
+                    [digest_to_item(d) for d in current_tree.open(i + half)],
+                    [digest_to_item(d) for d in next_tree.open(i)],
+                ]
+            )
+        proof_stream.push({"fri_points": points})
+        proof_stream.push({"fri_paths": paths})
+
+    # -- verifier ----------------------------------------------------------
+
+    def verify(self, proof_stream: ProofStream) -> Tuple[bool, List[Tuple[int, int]]]:
+        """Replays the transcript. Returns (accept, top-level points).
+
+        The returned (index, value) pairs of the TOP codeword let the STARK
+        layer cross-check the combination polynomial at the queried spots.
+        """
+        rounds = self.num_rounds
+        omega, offset = self.omega, self.offset
+
+        roots: List[bytes] = []
+        alphas: List[int] = []
+        for r in range(rounds):
+            roots.append(item_to_digest(proof_stream.pull()["fri_root"]))
+            if r == rounds - 1:
+                break
+            alphas.append(sample_field_element(proof_stream.verifier_fiat_shamir()))
+
+        last_items = proof_stream.pull()["fri_last_codeword"]
+        last_codeword = [item_to_felt(v) for v in last_items]
+        last_len = self.domain_length >> (rounds - 1)
+        if len(last_codeword) != last_len:
+            return False, []
+
+        # Last codeword must hash to the last commitment...
+        last_limbs = ints_to_limbs(last_codeword)
+        last_tree = MerkleTree.commit(hash_felt_leaves([jnp.asarray(last_limbs)]))
+        if last_tree.root != roots[-1]:
+            return False, []
+        # ...and must be of low enough degree (interpolate on its coset).
+        last_offset = pow(offset, 1 << (rounds - 1), PRIME)
+        coeffs = limbs_to_ints(
+            np.asarray(
+                fj.from_mont(
+                    nttmod.coset_interpolate(fj.to_mont(jnp.asarray(last_limbs)), last_offset)
+                )
+            )
+        )
+        degree_bound = last_len // self.expansion_factor  # max num coefficients
+        if any(int(c) != 0 for c in coeffs[degree_bound:]):
+            return False, []
+
+        top_indices = sample_indices(
+            proof_stream.verifier_fiat_shamir(),
+            self.domain_length // 2,
+            self.domain_length >> rounds,
+            self.num_colinearity_tests,
+        )
+        top_points: List[Tuple[int, int]] = []
+        indices = list(top_indices)
+        for r in range(rounds - 1):
+            n = self.domain_length >> r
+            half = n // 2
+            indices = [i % half for i in indices]
+            omega_r = pow(self.omega, 1 << r, PRIME)
+            offset_r = pow(self.offset, 1 << r, PRIME)
+            alpha = alphas[r]
+            points_items = proof_stream.pull()["fri_points"]
+            paths_items = proof_stream.pull()["fri_paths"]
+            if len(points_items) != len(indices) or len(paths_items) != len(indices):
+                return False, []
+            for s, i in enumerate(indices):
+                ay, by, cy = (item_to_felt(v) for v in points_items[s])
+                ax = offset_r * pow(omega_r, i, PRIME) % PRIME
+                bx = offset_r * pow(omega_r, i + half, PRIME) % PRIME
+                if not colinearity_check([(ax, ay), (bx, by), (alpha, cy)]):
+                    return False, []
+                pa, pb, pc = (
+                    [item_to_digest(d) for d in path] for path in paths_items[s]
+                )
+                if not verify_path(roots[r], hash_felts([ay]), pa, i):
+                    return False, []
+                if not verify_path(roots[r], hash_felts([by]), pb, i + half):
+                    return False, []
+                if not verify_path(roots[r + 1], hash_felts([cy]), pc, i):
+                    return False, []
+                if r == 0:
+                    top_points.append((i, ay))
+                    top_points.append((i + half, by))
+        return True, top_points

@@ -155,14 +155,24 @@ def sample_field_element(data: bytes) -> int:
     return int.from_bytes(hashlib.sha256(data).digest(), "big") % PRIME
 
 
-def sample_indices(seed: bytes, size: int, number: int) -> list[int]:
-    """Sample `number` distinct indices in [0, size) from a seed.
+def sample_indices(
+    seed: bytes, size: int, reduced_size: int | None = None, number: int | None = None
+) -> list[int]:
+    """Sample `number` indices in [0, size), distinct modulo `reduced_size`.
 
     Counter-mode SHA-256 expansion; rejection-free reduction is fine here
-    (size is a power of two well below 2^256, bias < 2^-128).
+    (size is a power of two well below 2^256, bias < 2^-128). FRI folds
+    index i of a length-n codeword to i mod n/2 each round, so query
+    indices must stay distinct after folding down to the LAST codeword —
+    `reduced_size` is that last length (defaults to `size`: plain
+    distinctness).
     """
-    if number > size:
-        raise ValueError("cannot sample more distinct indices than the domain size")
+    if number is None:
+        raise TypeError("number of indices is required")
+    if reduced_size is None:
+        reduced_size = size
+    if number > reduced_size:
+        raise ValueError("cannot sample more distinct indices than the reduced size")
     indices: list[int] = []
     seen = set()
     counter = 0
@@ -170,7 +180,7 @@ def sample_indices(seed: bytes, size: int, number: int) -> list[int]:
         digest = hashlib.sha256(seed + counter.to_bytes(8, "big")).digest()
         idx = int.from_bytes(digest, "big") % size
         counter += 1
-        if idx not in seen:
-            seen.add(idx)
+        if idx % reduced_size not in seen:
+            seen.add(idx % reduced_size)
             indices.append(idx)
     return indices

@@ -135,7 +135,7 @@ def test_sampling_deterministic():
     x = sample_field_element(b"seed")
     assert 0 <= x < PRIME
     assert x == sample_field_element(b"seed")
-    idx = sample_indices(b"seed", 1 << 10, 32)
+    idx = sample_indices(b"seed", 1 << 10, number=32)
     assert len(set(idx)) == 32
     assert all(0 <= i < 1 << 10 for i in idx)
-    assert idx == sample_indices(b"seed", 1 << 10, 32)
+    assert idx == sample_indices(b"seed", 1 << 10, number=32)

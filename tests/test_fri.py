@@ -1,0 +1,114 @@
+"""FRI prove/verify round trips and soundness probes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stark_anatomy_tpu.iop.fri import Fri, colinearity_check, fold
+from stark_anatomy_tpu.iop.proof_stream import ProofStream
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import ntt as nttmod
+from stark_anatomy_tpu.ops.field import GENERATOR, PRIME, finv, primitive_root_of_unity
+from stark_anatomy_tpu.ops.limbs import ints_to_limbs, limbs_to_ints
+
+
+def _codeword_of_degree(num_coeffs: int, domain_length: int, offset: int, seed=0):
+    """Evaluations of a random degree < num_coeffs polynomial on the coset."""
+    rng = np.random.default_rng(seed)
+    coeffs = [int(x) for x in rng.integers(1, 1 << 62, size=num_coeffs)]
+    cm = fj.to_mont(jnp.asarray(ints_to_limbs(coeffs)))
+    return nttmod.coset_evaluate(cm, domain_length, offset)
+
+
+def _fri():
+    return Fri(
+        offset=GENERATOR,
+        domain_length=256,
+        expansion_factor=4,
+        num_colinearity_tests=8,
+    )
+
+
+def test_fold_matches_host_oracle():
+    n = 64
+    offset = GENERATOR
+    omega = primitive_root_of_unity(n)
+    rng = np.random.default_rng(1)
+    values = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+    alpha = 123456789123456789
+    cm = fj.to_mont(jnp.asarray(ints_to_limbs(values)))
+    folded = limbs_to_ints(np.asarray(fj.from_mont(fold(cm, alpha, offset, omega))))
+    inv2 = finv(2)
+    for i in range(n // 2):
+        d = offset * pow(omega, i, PRIME) % PRIME
+        au = alpha * finv(d) % PRIME
+        want = inv2 * ((1 + au) * values[i] + (1 - au) * values[i + n // 2]) % PRIME
+        assert int(folded[i]) == want, i
+
+
+def test_prove_verify_round_trip():
+    fri = _fri()
+    codeword = _codeword_of_degree(64, 256, fri.offset)
+    ps = ProofStream()
+    fri.prove(codeword, ps)
+    # Serialize -> deserialize (the proof travels as bytes).
+    verifier_ps = ProofStream.deserialize(ps.serialize())
+    ok, points = fri.verify(verifier_ps)
+    assert ok
+    # Returned top-level points must match the committed codeword.
+    values = limbs_to_ints(np.asarray(fj.from_mont(codeword)))
+    assert points
+    for idx, val in points:
+        assert int(values[idx]) == val
+
+
+def test_high_degree_codeword_rejected():
+    fri = _fri()
+    # Degree bound is 256/4 = 64 coefficients; use 128 -> must fail.
+    codeword = _codeword_of_degree(128, 256, fri.offset, seed=3)
+    ps = ProofStream()
+    fri.prove(codeword, ps)
+    ok, _ = fri.verify(ProofStream.deserialize(ps.serialize()))
+    assert not ok
+
+
+def test_tampered_value_rejected():
+    fri = _fri()
+    codeword = _codeword_of_degree(64, 256, fri.offset, seed=4)
+    ps = ProofStream()
+    fri.prove(codeword, ps)
+    # Flip one opened value in the first query round.
+    for item in ps.items:
+        if isinstance(item, dict) and "fri_points" in item:
+            a = int(item["fri_points"][0][0])
+            item["fri_points"][0][0] = str((a + 1) % PRIME)
+            break
+    ok, _ = fri.verify(ProofStream.deserialize(ps.serialize()))
+    assert not ok
+
+
+def test_tampered_root_rejected():
+    fri = _fri()
+    codeword = _codeword_of_degree(64, 256, fri.offset, seed=5)
+    ps = ProofStream()
+    fri.prove(codeword, ps)
+    for item in ps.items:
+        if isinstance(item, dict) and "fri_root" in item:
+            item["fri_root"] = "00" * 64
+            break
+    ok, _ = fri.verify(ProofStream.deserialize(ps.serialize()))
+    assert not ok
+
+
+def test_colinearity_check():
+    # y = 3x + 5 over F_p.
+    pts = [(x, (3 * x + 5) % PRIME) for x in (2, 71, 90001)]
+    assert colinearity_check(pts)
+    bad = [pts[0], pts[1], (pts[2][0], (pts[2][1] + 1) % PRIME)]
+    assert not colinearity_check(bad)
+
+
+def test_num_rounds_bounds():
+    fri = _fri()
+    # Folding stops while 4*tests < length and length > expansion.
+    assert fri.num_rounds == 3  # 256 -> 128 -> 64 -> 32 (stop: 4*8 !< 32)
