@@ -1,0 +1,502 @@
+"""STARK prover/verifier over an AIR, evaluation-form and TPU-first.
+
+Absent from the reference (SURVEY.md section 0) — this is the layer that
+would sit above /root/reference/src/iop (the reference's ProofStream/Merkle
+are its building blocks, proof_stream.rs:17-65, merkle.rs:33-112). Protocol
+follows Szepieniec's "Anatomy of a STARK" part 5/6 with a TPU-first
+re-architecture: NO symbolic polynomial arithmetic on the hot path —
+every quotient is computed *pointwise on the LDE coset domain* with batched
+Montgomery limb kernels (ops/field_jnp.py), where zerofiers never vanish:
+
+  prover pipeline (all device):
+    trace columns --iNTT--> coeffs --coset NTT--> trace LDE
+    boundary quotients  bq_j = (t_j - B_j) * inv(Z_boundary_j)
+    transition codewords from AIR (vectorized over the domain; next row
+      = LDE rolled by F/O positions)
+    transition quotients tq_k = C_k * inv(Z_transition)
+    combination = sum_t (alpha_t + beta_t * x^shift_t) * term_t
+    FRI on the combination codeword (iop/fri.py)
+
+  degree bookkeeping: terms are lifted to a common degree D-1
+  (D = next power of two above the largest quotient degree) by the random
+  beta * x^shift mixing; the FRI domain is D * expansion_factor points on
+  the coset g*<omega> — disjoint from the trace domain since the full-order
+  generator g lies in no power-of-two subgroup.
+
+  trace "randomizers": the trace is padded to the full power-of-two
+  omicron domain with pseudorandom rows (derived from a seed — pass fresh
+  entropy for zero-knowledge, a fixed seed for reproducible proofs); the
+  transition zerofier excludes padding rows explicitly.
+
+The verifier replays the transcript: FRI verification plus pointwise
+reconstruction of trace values from opened boundary-quotient leaves at the
+FRI query points, constraint evaluation in exact host arithmetic, and a
+combination-value equality check at every queried index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from functools import lru_cache
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from stark_anatomy_tpu.iop.fri import Fri
+from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
+from stark_anatomy_tpu.iop.proof_stream import ProofStream, ProofStreamError
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import ntt as nttmod
+from stark_anatomy_tpu.ops.field import (
+    GENERATOR,
+    PRIME,
+    finv,
+    primitive_root_of_unity,
+    sample_field_element,
+)
+from stark_anatomy_tpu.ops.limbs import R_MOD_P, int_to_limbs, ints_to_limbs, limbs_to_ints
+from stark_anatomy_tpu.utils.encoding import (
+    digest_to_item,
+    felt_to_item,
+    hash_felts,
+    item_to_digest,
+    item_to_felt,
+)
+
+_RANDOMIZER_TAG = b"stark_anatomy_tpu/trace-randomizer/v1"
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+def _const_mont(value: int, n: int) -> jnp.ndarray:
+    c = jnp.asarray(int_to_limbs(value * R_MOD_P % PRIME), dtype=jnp.uint32)
+    return jnp.broadcast_to(c.reshape(8, 1), (8, n))
+
+
+def _lagrange_coeffs(points: List[Tuple[int, int]]) -> List[int]:
+    """Exact host Lagrange interpolation -> coefficient list (low first)."""
+    k = len(points)
+    coeffs = [0] * k
+    for i, (xi, yi) in enumerate(points):
+        # basis_i(x) = prod_{j!=i} (x - xj) / (xi - xj)
+        basis = [1]
+        denom = 1
+        for j, (xj, _) in enumerate(points):
+            if j == i:
+                continue
+            new = [0] * (len(basis) + 1)
+            for d, c in enumerate(basis):
+                new[d] = (new[d] - c * xj) % PRIME
+                new[d + 1] = (new[d + 1] + c) % PRIME
+            basis = new
+            denom = denom * (xi - xj) % PRIME
+        scale = yi * finv(denom) % PRIME
+        for d, c in enumerate(basis):
+            coeffs[d] = (coeffs[d] + scale * c) % PRIME
+    return coeffs
+
+
+def sample_weights(seed: bytes, count: int) -> List[int]:
+    """Deterministic transcript-derived field elements (domain-separated)."""
+    return [
+        sample_field_element(seed + b"weight" + k.to_bytes(8, "big"))
+        for k in range(count)
+    ]
+
+
+@dataclass
+class Stark:
+    """STARK for one AIR shape (register count, cycle count, degree)."""
+
+    air: object
+    expansion_factor: int = 4
+    num_colinearity_checks: int = 16
+    num_randomizers: int | None = None
+    _cache: dict = dc_field(default_factory=dict, repr=False)
+
+    def __post_init__(self):
+        if self.num_randomizers is None:
+            self.num_randomizers = 4 * self.num_colinearity_checks
+
+    # -- derived domain parameters ----------------------------------------
+
+    @property
+    def trace_length(self) -> int:
+        return self.air.cycle_count
+
+    @property
+    def num_registers(self) -> int:
+        return self.air.num_registers
+
+    @property
+    def omicron_domain_length(self) -> int:
+        return _next_pow2(self.trace_length + self.num_randomizers)
+
+    @property
+    def omicron(self) -> int:
+        return primitive_root_of_unity(self.omicron_domain_length)
+
+    @property
+    def transition_quotient_degree(self) -> int:
+        o = self.omicron_domain_length
+        return self.air.constraint_degree * (o - 1) - (self.trace_length - 1)
+
+    def boundary_zerofier_degrees(self, boundary) -> List[int]:
+        return [
+            sum(1 for (c, r, v) in boundary if r == j)
+            for j in range(self.num_registers)
+        ]
+
+    @property
+    def max_degree(self) -> int:
+        # Boundary quotient degrees are < O-1 <= tq degree for any
+        # constraint_degree >= 2, so the transition quotients dominate.
+        return self.transition_quotient_degree
+
+    @property
+    def fri_domain_length(self) -> int:
+        return _next_pow2(self.max_degree + 1) * self.expansion_factor
+
+    @property
+    def degree_target(self) -> int:
+        """All combination terms are lifted to exactly this degree."""
+        return _next_pow2(self.max_degree + 1) - 1
+
+    @property
+    def omega(self) -> int:
+        return primitive_root_of_unity(self.fri_domain_length)
+
+    @property
+    def offset(self) -> int:
+        return GENERATOR
+
+    @property
+    def expansion_shift(self) -> int:
+        """Index distance on the FRI domain corresponding to one trace row."""
+        return self.fri_domain_length // self.omicron_domain_length
+
+    @property
+    def fri(self) -> Fri:
+        return Fri(
+            offset=self.offset,
+            domain_length=self.fri_domain_length,
+            expansion_factor=self.expansion_factor,
+            num_colinearity_tests=self.num_colinearity_checks,
+        )
+
+    # -- shared device precomputations (cached per instance) ---------------
+
+    def _x_codeword(self) -> jnp.ndarray:
+        """(8, F) Montgomery evals of x on the FRI coset."""
+        if "x_cw" not in self._cache:
+            f = self.fri_domain_length
+            tab = nttmod.powers(self.omega, f)
+            self._cache["x_cw"] = fj.mont_mul(tab, _const_mont(self.offset, f))
+        return self._cache["x_cw"]
+
+    def _x_pow_codeword(self, s: int) -> jnp.ndarray:
+        """(8, F) Montgomery evals of x^s on the FRI coset."""
+        key = ("xpow", s)
+        if key not in self._cache:
+            f = self.fri_domain_length
+            tab = nttmod.powers(pow(self.omega, s, PRIME), f)
+            self._cache[key] = fj.mont_mul(
+                tab, _const_mont(pow(self.offset, s, PRIME), f)
+            )
+        return self._cache[key]
+
+    def column_lde(self, values: Sequence[int]) -> jnp.ndarray:
+        """Omicron-domain column (len O) -> (8, F) Montgomery LDE codeword."""
+        o = self.omicron_domain_length
+        if len(values) != o:
+            raise ValueError(f"expected {o} rows, got {len(values)}")
+        cm = fj.to_mont(jnp.asarray(ints_to_limbs(list(values))))
+        coeffs = nttmod.intt(cm)
+        return nttmod.coset_evaluate(coeffs, self.fri_domain_length, self.offset)
+
+    def _constants_codewords(self) -> List[jnp.ndarray]:
+        if "constants" not in self._cache:
+            cols = self.air.constant_columns(self.omicron_domain_length)
+            self._cache["constants"] = [self.column_lde(c) for c in cols]
+        return self._cache["constants"]
+
+    def _transition_zerofier_inv(self) -> jnp.ndarray:
+        """(8, F) Montgomery evals of 1/Z_transition on the FRI coset.
+
+        Z_t vanishes on rows 0..T-2: Z_t = (x^O - 1) / prod_excluded, so
+        1/Z_t = prod_{r=T-1}^{O-1}(x - omicron^r) * inv(x^O - 1).
+        """
+        if "zt_inv" not in self._cache:
+            f = self.fri_domain_length
+            o = self.omicron_domain_length
+            prod = _const_mont(1, f)
+            x = self._x_codeword()
+            for r in range(self.trace_length - 1, o):
+                pt = _const_mont(pow(self.omicron, r, PRIME), f)
+                prod = fj.mont_mul(prod, fj.sub(x, pt))
+            xo = self._x_pow_codeword(o)
+            denom_inv = fj.inv(fj.sub(xo, _const_mont(1, f)))
+            self._cache["zt_inv"] = fj.mont_mul(prod, denom_inv)
+        return self._cache["zt_inv"]
+
+    def _boundary_polys(self, boundary) -> List[dict]:
+        """Per-register interpolant coeffs + zerofier root list (host)."""
+        out = []
+        for j in range(self.num_registers):
+            pts = [
+                (pow(self.omicron, c, PRIME), v)
+                for (c, r, v) in boundary
+                if r == j
+            ]
+            out.append(
+                {
+                    "interpolant": _lagrange_coeffs(pts) if pts else [0],
+                    "roots": [x for (x, _) in pts],
+                }
+            )
+        return out
+
+    def _boundary_eval_host(self, bp: dict, x: int) -> Tuple[int, int]:
+        """(B_j(x), Z_boundary_j(x)) at a host point."""
+        acc, xp = 0, 1
+        for c in bp["interpolant"]:
+            acc = (acc + c * xp) % PRIME
+            xp = xp * x % PRIME
+        z = 1
+        for r in bp["roots"]:
+            z = z * (x - r) % PRIME
+        return acc, z
+
+    def _boundary_codewords(self, bp: dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """((8,F) B_j evals, (8,F) inv(Z_boundary_j) evals), Montgomery."""
+        f = self.fri_domain_length
+        acc = _const_mont(bp["interpolant"][0], f)
+        for d, c in enumerate(bp["interpolant"][1:], start=1):
+            acc = fj.add(acc, fj.mont_mul(_const_mont(c, f), self._x_pow_codeword(d)))
+        z = _const_mont(1, f)
+        x = self._x_codeword()
+        for r in bp["roots"]:
+            z = fj.mont_mul(z, fj.sub(x, _const_mont(r, f)))
+        return acc, fj.inv(z)
+
+    # -- prover ------------------------------------------------------------
+
+    def prove(
+        self,
+        trace: np.ndarray,
+        boundary: List[Tuple[int, int, int]],
+        proof_stream: ProofStream | None = None,
+        randomizer_seed: bytes = b"",
+    ) -> bytes:
+        """Prove that `trace` satisfies the AIR + boundary. Returns bytes.
+
+        trace: (T, w) array of ints (row t = registers at cycle t).
+        boundary: (cycle, register, value) triples, public.
+        randomizer_seed: entropy for the padding rows (fix it for
+        reproducible proofs; supply fresh randomness for zero-knowledge).
+        """
+        t_len, w = trace.shape
+        if t_len != self.trace_length or w != self.num_registers:
+            raise ValueError("trace shape does not match the AIR")
+        ps = proof_stream if proof_stream is not None else ProofStream()
+        o = self.omicron_domain_length
+        f = self.fri_domain_length
+        e = self.expansion_shift
+
+        # 1. pad trace to the full omicron domain with pseudorandom rows.
+        rows = [[int(v) % PRIME for v in row] for row in trace]
+        for r in range(t_len, o):
+            rows.append(
+                [
+                    sample_field_element(
+                        _RANDOMIZER_TAG
+                        + randomizer_seed
+                        + r.to_bytes(8, "big")
+                        + j.to_bytes(4, "big")
+                    )
+                    for j in range(w)
+                ]
+            )
+
+        # 2-3. interpolate columns and LDE to the FRI coset.
+        t_lde = [self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)]
+
+        # 4. boundary quotients.
+        bps = self._boundary_polys(boundary)
+        bq = []
+        for j in range(w):
+            b_cw, zb_inv = self._boundary_codewords(bps[j])
+            bq.append(fj.mont_mul(fj.sub(t_lde[j], b_cw), zb_inv))
+
+        # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
+        bq_standard = [fj.from_mont(q) for q in bq]
+        bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
+        ps.push({"bq_root": digest_to_item(bq_tree.root)})
+
+        # 6. combination weights from the transcript.
+        n_terms = self.air.num_constraints + w
+        weights = sample_weights(ps.prover_fiat_shamir(), 2 * n_terms)
+
+        # 7-8. transition constraint codewords and quotients.
+        nxt = [jnp.roll(t, -e, axis=1) for t in t_lde]
+        constraints = self.air.eval_transition_device(
+            t_lde, nxt, self._constants_codewords()
+        )
+        zt_inv = self._transition_zerofier_inv()
+        tq = [fj.mont_mul(c, zt_inv) for c in constraints]
+
+        # 9. combination codeword, every term lifted to degree_target.
+        terms = list(tq) + list(bq)
+        degrees = [self.transition_quotient_degree] * len(tq) + [
+            o - 1 - len(bps[j]["roots"]) for j in range(w)
+        ]
+        comb = fj.zeros((f,))
+        for t_idx, (term, deg) in enumerate(zip(terms, degrees)):
+            alpha, beta = weights[2 * t_idx], weights[2 * t_idx + 1]
+            shift = self.degree_target - deg
+            lift = _const_mont(alpha, f)
+            if shift:
+                lift = fj.add(
+                    lift,
+                    fj.mont_mul(_const_mont(beta, f), self._x_pow_codeword(shift)),
+                )
+            else:
+                lift = fj.add(lift, _const_mont(beta, f))
+            comb = fj.add(comb, fj.mont_mul(lift, term))
+
+        # 10. FRI on the combination.
+        top_indices = self.fri.prove(comb, ps)
+
+        # 11. open the boundary-quotient rows the verifier will need.
+        need = set()
+        for i in top_indices:
+            for base in (i, i + f // 2):
+                need.add(base % f)
+                need.add((base + e) % f)
+        bq_values = {
+            idx: [int(v) for v in vals]
+            for idx, vals in zip(
+                sorted(need),
+                np.stack(
+                    [
+                        limbs_to_ints(np.asarray(q)[:, sorted(need)])
+                        for q in bq_standard
+                    ],
+                    axis=1,
+                ),
+            )
+        }
+        ps.push(
+            {
+                "bq_leaves": [
+                    [idx, [felt_to_item(v) for v in vals]]
+                    for idx, vals in sorted(bq_values.items())
+                ]
+            }
+        )
+        ps.push(
+            {
+                "bq_paths": [
+                    [idx, [digest_to_item(d) for d in bq_tree.open(idx)]]
+                    for idx in sorted(need)
+                ]
+            }
+        )
+        return ps.serialize()
+
+    # -- verifier ----------------------------------------------------------
+
+    def verify(self, proof: bytes, boundary: List[Tuple[int, int, int]]) -> bool:
+        try:
+            return self._verify(proof, boundary)
+        except (KeyError, TypeError, ValueError, IndexError, ProofStreamError):
+            # Malformed transcripts are rejections, not crashes.
+            return False
+
+    def _verify(self, proof: bytes, boundary) -> bool:
+        ps = ProofStream.deserialize(proof)
+        o = self.omicron_domain_length
+        f = self.fri_domain_length
+        e = self.expansion_shift
+        w = self.num_registers
+
+        bq_root = item_to_digest(ps.pull()["bq_root"])
+        n_terms = self.air.num_constraints + w
+        weights = sample_weights(ps.verifier_fiat_shamir(), 2 * n_terms)
+
+        ok, top_points = self.fri.verify(ps)
+        if not ok or not top_points:
+            return False
+
+        leaves_item = ps.pull()["bq_leaves"]
+        paths_item = ps.pull()["bq_paths"]
+        bq_vals: Dict[int, List[int]] = {}
+        paths: Dict[int, List[bytes]] = {}
+        for idx, vals in leaves_item:
+            bq_vals[int(idx)] = [item_to_felt(v) for v in vals]
+        for idx, path in paths_item:
+            paths[int(idx)] = [item_to_digest(d) for d in path]
+        for idx, vals in bq_vals.items():
+            if idx not in paths:
+                return False
+            if not verify_path(bq_root, hash_felts(vals), paths[idx], idx):
+                return False
+
+        bps = self._boundary_polys(boundary)
+        # Constants at the queried rows, via one gather from the public
+        # constants codewords (exact; the columns are part of the AIR).
+        query_rows = sorted({i for (i, _) in top_points} | {(i + e) % f for (i, _) in top_points})
+        const_cw = self._constants_codewords()
+        const_at: Dict[int, List[int]] = {}
+        gathered = [
+            limbs_to_ints(np.asarray(fj.from_mont(c[:, query_rows])))
+            for c in const_cw
+        ]
+        for pos, idx in enumerate(query_rows):
+            const_at[idx] = [int(g[pos]) for g in gathered]
+
+        excluded = [pow(self.omicron, r, PRIME) for r in range(self.trace_length - 1, o)]
+        degrees = [self.transition_quotient_degree] * self.air.num_constraints + [
+            o - 1 - len(bps[j]["roots"]) for j in range(w)
+        ]
+
+        for i, comb_val in top_points:
+            i2 = (i + e) % f
+            if i not in bq_vals or i2 not in bq_vals:
+                return False
+            x = self.offset * pow(self.omega, i, PRIME) % PRIME
+            x2 = self.offset * pow(self.omega, i2, PRIME) % PRIME
+            cur, nxt = [], []
+            for j in range(w):
+                b1, z1 = self._boundary_eval_host(bps[j], x)
+                b2, z2 = self._boundary_eval_host(bps[j], x2)
+                cur.append((bq_vals[i][j] * z1 + b1) % PRIME)
+                nxt.append((bq_vals[i2][j] * z2 + b2) % PRIME)
+            cons = self.air.eval_transition_host(cur, nxt, const_at[i])
+            zt_inv = 1
+            for rt in excluded:
+                zt_inv = zt_inv * (x - rt) % PRIME
+            zt_inv = zt_inv * finv((pow(x, o, PRIME) - 1) % PRIME) % PRIME
+            terms = [c * zt_inv % PRIME for c in cons] + list(bq_vals[i])
+            combo = 0
+            for t_idx, (term, deg) in enumerate(zip(terms, degrees)):
+                alpha, beta = weights[2 * t_idx], weights[2 * t_idx + 1]
+                shift = self.degree_target - deg
+                combo = (combo + (alpha + beta * pow(x, shift, PRIME)) * term) % PRIME
+            if combo != comb_val % PRIME:
+                return False
+        return True
+
+
+def default_config(chain_length: int = 1, num_colinearity_checks: int = 16) -> Stark:
+    """Flagship configuration: STARK over a Rescue-Prime hash chain."""
+    from stark_anatomy_tpu.models.rescue_prime import RescuePrime, RescuePrimeAir
+
+    air = RescuePrimeAir(RescuePrime(), chain_length=chain_length)
+    return Stark(air, expansion_factor=4, num_colinearity_checks=num_colinearity_checks)

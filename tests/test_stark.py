@@ -1,0 +1,81 @@
+"""End-to-end STARK: prove + verify a Rescue-Prime trace, soundness probes."""
+
+import numpy as np
+import pytest
+
+from stark_anatomy_tpu.iop.stark import Stark, default_config
+from stark_anatomy_tpu.models.rescue_prime import RescuePrime, RescuePrimeAir
+from stark_anatomy_tpu.ops.field import PRIME
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    inp = 228894434762048332457318
+    trace = rp.trace(inp)
+    output = rp.hash(inp)
+    boundary = air.boundary_constraints(output)
+    proof = stark.prove(trace, boundary)
+    return rp, air, stark, trace, output, boundary, proof
+
+
+def test_domain_parameters(setup):
+    _, _, stark, *_ = setup
+    assert stark.trace_length == 28
+    assert stark.omicron_domain_length == 64  # 28 + 8 randomizers -> 64
+    assert stark.transition_quotient_degree == 3 * 63 - 27
+    assert stark.fri_domain_length == 1024
+    assert stark.expansion_shift == 16
+
+
+def test_honest_proof_verifies(setup):
+    _, _, stark, _, _, boundary, proof = setup
+    assert stark.verify(proof, boundary)
+
+
+def test_proof_is_deterministic(setup):
+    rp, air, stark, trace, _, boundary, proof = setup
+    assert stark.prove(trace, boundary) == proof
+
+
+def test_wrong_output_rejected(setup):
+    rp, air, stark, _, output, _, proof = setup
+    bad_boundary = air.boundary_constraints((output + 1) % PRIME)
+    assert not stark.verify(proof, bad_boundary)
+
+
+def test_wrong_trace_rejected(setup):
+    rp, air, stark, trace, output, boundary, _ = setup
+    bad_trace = trace.copy()
+    bad_trace[13][0] = (int(bad_trace[13][0]) + 1) % PRIME
+    proof = stark.prove(bad_trace, boundary)
+    assert not stark.verify(proof, boundary)
+
+
+def test_tampered_proof_bytes_rejected(setup):
+    _, _, stark, _, _, boundary, proof = setup
+    # Flip a byte in the middle; must reject (False) or at worst raise
+    # inside and be converted to False — never accept.
+    bad = bytearray(proof)
+    bad[len(bad) // 2] ^= 0x55
+    assert not stark.verify(bytes(bad), boundary)
+    assert not stark.verify(b"not a proof", boundary)
+
+
+def test_chain_proof():
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=2)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    inp = 42
+    trace = rp.trace(inp, chain_length=2)
+    boundary = air.boundary_constraints(rp.chain_output(inp, 2))
+    proof = stark.prove(trace, boundary)
+    assert stark.verify(proof, boundary)
+
+
+def test_default_config_shape():
+    stark = default_config(chain_length=1, num_colinearity_checks=2)
+    assert stark.num_registers == 2
+    assert stark.trace_length == 28
