@@ -98,13 +98,20 @@ def _g_vec(a_lo, a_hi, b_lo, b_hi, c_lo, c_hi, d_lo, d_hi, x_lo, x_hi, y_lo, y_h
 
 
 def _quarter_const(words, like):
-    """4 u64 constants -> ((4, batch) lo, (4, batch) hi) broadcasts."""
+    """4 u64 constants -> ((4, batch) lo, (4, batch) hi).
+
+    Derived from `like` (as like*0 + const) rather than broadcast fresh, so
+    the result carries the same device-varying type as the data under
+    shard_map — otherwise the fori_loop carry would mix varying and
+    replicated components and fail to trace.
+    """
     lo = np.array([w & 0xFFFFFFFF for w in words], dtype=np.uint32)
     hi = np.array([w >> 32 for w in words], dtype=np.uint32)
-    shape = (4,) + like.shape[1:]
+    expand = (4,) + (1,) * (like.ndim - 1)
+    base = like[:4] * jnp.uint32(0)
     return (
-        jnp.broadcast_to(jnp.asarray(lo).reshape(4, *([1] * (like.ndim - 1))), shape),
-        jnp.broadcast_to(jnp.asarray(hi).reshape(4, *([1] * (like.ndim - 1))), shape),
+        base + jnp.asarray(lo).reshape(expand),
+        base + jnp.asarray(hi).reshape(expand),
     )
 
 
@@ -161,15 +168,16 @@ def _compress(h_lo, h_hi, m_lo, m_hi, t: int, last: bool):
 
 
 def _init_state(like):
+    """Initial h from a (>=8, batch) data template (varying-type safe)."""
     words = list(_IV64)
     words[0] ^= _PARAM_XOR
     lo = np.array([w & 0xFFFFFFFF for w in words], dtype=np.uint32)
     hi = np.array([w >> 32 for w in words], dtype=np.uint32)
-    shape = (8,) + like.shape[1:]
     expand = (8,) + (1,) * (like.ndim - 1)
+    base = like[:8] * jnp.uint32(0)
     return (
-        jnp.broadcast_to(jnp.asarray(lo).reshape(expand), shape),
-        jnp.broadcast_to(jnp.asarray(hi).reshape(expand), shape),
+        base + jnp.asarray(lo).reshape(expand),
+        base + jnp.asarray(hi).reshape(expand),
     )
 
 

@@ -1,0 +1,262 @@
+"""Hand-tiled Pallas TPU kernels for F_p limb arithmetic.
+
+Same semantics as ops/field_jnp.py (the any-backend reference
+implementation, tested equivalent in tests/test_field_pallas.py), but laid
+out for the TPU VPU explicitly:
+
+- an (8, n) limb codeword is viewed as (8, n/128/R, R, 128): the limb axis
+  becomes a MAJOR axis, so each per-limb slice inside the kernel is a
+  tile-aligned (R, 128) vector register — no sublane relayouts, unlike the
+  XLA path where slicing row i of an (8, n) array reshuffles tiles;
+- one grid step processes R*128 elements; all ~700 uint32 ops of the
+  schoolbook 8x8 product + Montgomery REDC (see ops/limbs.py for the
+  algorithm and constants) run on full (R, 128) tiles in VMEM;
+- the fused NTT butterfly kernel computes t = odd*tw, even+t, even-t in
+  one pass — one HBM read/write per operand per stage instead of three.
+
+Kernels fall back to ops/field_jnp.py off-TPU (tests exercise both the
+fallback and interpret-mode kernels on CPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops.limbs import (
+    COMP_P_LIMBS,
+    LIMB_BITS,
+    LIMB_MASK,
+    NUM_LIMBS,
+    P_TOP_DIGIT,
+)
+
+import numpy as np
+
+_M = np.uint32(LIMB_MASK)
+_S16 = np.uint32(LIMB_BITS)
+#: default elements per grid step = _ROWS * 128.
+_ROWS = 64
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _limbs(ref):
+    """8 per-limb (R, 128) tiles from an (8, R, 128) block ref."""
+    return [ref[i] for i in range(NUM_LIMBS)]
+
+
+def _store(ref, digits):
+    for i in range(NUM_LIMBS):
+        ref[i] = digits[i]
+
+
+def _cond_sub_p(digits, carry_out):
+    """value < 2p (8 digits + bit-128 carry) -> value mod p. Tile ops only."""
+    u = []
+    c = None
+    for i in range(NUM_LIMBS):
+        t = digits[i] + np.uint32(COMP_P_LIMBS[i]) + (np.uint32(1) if c is None else c)
+        u.append(t & _M)
+        c = t >> _S16
+    ge = (carry_out | c) != 0
+    return [jnp.where(ge, u[i], digits[i]) for i in range(NUM_LIMBS)]
+
+
+def _add_digits(a, b):
+    digits = []
+    c = np.uint32(0)
+    for i in range(NUM_LIMBS):
+        t = a[i] + b[i] + c
+        digits.append(t & _M)
+        c = t >> _S16
+    return _cond_sub_p(digits, c)
+
+
+def _sub_digits(a, b):
+    d = []
+    c = np.uint32(1)
+    for i in range(NUM_LIMBS):
+        t = a[i] + (_M - b[i]) + c
+        d.append(t & _M)
+        c = t >> _S16
+    borrowed = c == 0
+    from stark_anatomy_tpu.ops.limbs import P_LIMBS
+
+    e = []
+    c2 = np.uint32(0)
+    for i in range(NUM_LIMBS):
+        t = d[i] + np.uint32(P_LIMBS[i]) + c2
+        e.append(t & _M)
+        c2 = t >> _S16
+    return [jnp.where(borrowed, e[i], d[i]) for i in range(NUM_LIMBS)]
+
+
+def _mont_mul_digits(a, b):
+    """REDC(a*b): schoolbook 8x8 + 8 REDC steps (ops/field_jnp.py:mont_mul)."""
+    t = [None] * (2 * NUM_LIMBS)
+
+    def acc(k, v):
+        t[k] = v if t[k] is None else t[k] + v
+
+    for i in range(NUM_LIMBS):
+        for j in range(NUM_LIMBS):
+            prod = a[i] * b[j]
+            acc(i + j, prod & _M)
+            acc(i + j + 1, prod >> _S16)
+    zero = jnp.zeros_like(a[0])
+    t = [zero if x is None else x for x in t]
+    top = np.uint32(P_TOP_DIGIT)
+    carry = zero
+    for i in range(NUM_LIMBS):
+        ti = t[i] + carry
+        m = (np.uint32(0x10000) - (ti & _M)) & _M
+        ti = ti + m
+        carry = ti >> _S16
+        mp = m * top
+        t[i + 7] = t[i + 7] + (mp & _M)
+        t[i + 8] = t[i + 8] + (mp >> _S16)
+    digits = []
+    for i in range(NUM_LIMBS, 2 * NUM_LIMBS):
+        ti = t[i] + carry
+        digits.append(ti & _M)
+        carry = ti >> _S16
+    return _cond_sub_p(digits, carry)
+
+
+# -- kernels ---------------------------------------------------------------
+
+
+def _add_kernel(a_ref, b_ref, o_ref):
+    _store(o_ref, _add_digits(_limbs(a_ref), _limbs(b_ref)))
+
+
+def _sub_kernel(a_ref, b_ref, o_ref):
+    _store(o_ref, _sub_digits(_limbs(a_ref), _limbs(b_ref)))
+
+
+def _mont_mul_kernel(a_ref, b_ref, o_ref):
+    _store(o_ref, _mont_mul_digits(_limbs(a_ref), _limbs(b_ref)))
+
+
+def _butterfly_kernel(even_ref, odd_ref, tw_ref, hi_ref, lo_ref):
+    """t = odd*tw; hi = even + t; lo = even - t (one fused pass)."""
+    even = _limbs(even_ref)
+    t = _mont_mul_digits(_limbs(odd_ref), _limbs(tw_ref))
+    _store(hi_ref, _add_digits(even, t))
+    _store(lo_ref, _sub_digits(even, t))
+
+
+def _blocked(x: jax.Array, rows: int):
+    """(8, n) -> (8, n/(rows*128), rows, 128); requires divisibility."""
+    n = x.shape[-1]
+    blocks = n // (rows * 128)
+    return x.reshape(NUM_LIMBS, blocks, rows, 128), blocks
+
+
+def _block_spec(rows: int):
+    return pl.BlockSpec(
+        (NUM_LIMBS, 1, rows, 128),
+        lambda i: (0, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _squeeze_kernel(kernel):
+    """Adapt a (8, R, 128)-block kernel to the (8, 1, R, 128) refs."""
+
+    def wrapped(*refs):
+        kernel(*[_SqueezedRef(r) for r in refs])
+
+    return wrapped
+
+
+class _SqueezedRef:
+    """View of an (8, 1, R, 128) ref presenting (8, R, 128) indexing."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    def __getitem__(self, i):
+        return self._ref[i, 0]
+
+    def __setitem__(self, i, value):
+        self._ref[i, 0] = value
+
+
+def _elementwise_call(kernel, n_out: int, rows: int, interpret: bool, *arrays):
+    n = arrays[0].shape[-1]
+    if n % (rows * 128):
+        raise ValueError(f"n={n} must be a multiple of {rows * 128}")
+    blocked = []
+    for x in arrays:
+        xb, blocks = _blocked(x, rows)
+        blocked.append(xb)
+    out_shape = [
+        jax.ShapeDtypeStruct(blocked[0].shape, jnp.uint32) for _ in range(n_out)
+    ]
+    spec = _block_spec(rows)
+    result = pl.pallas_call(
+        _squeeze_kernel(kernel),
+        out_shape=out_shape if n_out > 1 else out_shape[0],
+        grid=(blocks,),
+        in_specs=[spec] * len(arrays),
+        out_specs=[spec] * n_out if n_out > 1 else spec,
+        interpret=interpret,
+    )(*blocked)
+    if n_out == 1:
+        return result.reshape(NUM_LIMBS, n)
+    return tuple(r.reshape(NUM_LIMBS, n) for r in result)
+
+
+def _pick_rows(n: int) -> int:
+    rows = _ROWS
+    while rows > 8 and n % (rows * 128):
+        rows //= 2
+    return rows
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def add(a: jax.Array, b: jax.Array, interpret: bool = False) -> jax.Array:
+    if not interpret and (not _on_tpu() or a.shape[-1] % 1024):
+        return fj.add(a, b)
+    return _elementwise_call(_add_kernel, 1, _pick_rows(a.shape[-1]), interpret, a, b)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def sub(a: jax.Array, b: jax.Array, interpret: bool = False) -> jax.Array:
+    if not interpret and (not _on_tpu() or a.shape[-1] % 1024):
+        return fj.sub(a, b)
+    return _elementwise_call(_sub_kernel, 1, _pick_rows(a.shape[-1]), interpret, a, b)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def mont_mul(a: jax.Array, b: jax.Array, interpret: bool = False) -> jax.Array:
+    if not interpret and (not _on_tpu() or a.shape[-1] % 1024):
+        return fj.mont_mul(a, b)
+    return _elementwise_call(
+        _mont_mul_kernel, 1, _pick_rows(a.shape[-1]), interpret, a, b
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def butterfly(
+    even: jax.Array, odd: jax.Array, tw: jax.Array, interpret: bool = False
+):
+    """(even + odd*tw, even - odd*tw) fused; all (8, n) Montgomery form."""
+    if not interpret and (not _on_tpu() or even.shape[-1] % 1024):
+        t = fj.mont_mul(odd, tw)
+        return fj.add(even, t), fj.sub(even, t)
+    return _elementwise_call(
+        _butterfly_kernel, 2, _pick_rows(even.shape[-1]), interpret, even, odd, tw
+    )

@@ -75,15 +75,29 @@ def _powers_device(base_mont: jax.Array, count: int) -> jax.Array:
     return table
 
 
-@lru_cache(maxsize=64)
-def _twiddles(n: int, inverse: bool) -> jax.Array:
-    """(8, n//2) Montgomery-form table [w^0 .. w^(n/2-1)], w = omega_n^(+-1)."""
+_TWIDDLE_CACHE: dict = {}
+
+
+def _twiddles(n: int, inverse: bool):
+    """(8, n//2) Montgomery-form table [w^0 .. w^(n/2-1)], w = omega_n^(+-1).
+
+    Cached as a CONCRETE host array. When first requested inside a
+    jit/shard_map trace the result is a tracer — returned uncached (the
+    table is recomputed per trace, log n batched mont_muls) so the cache
+    never leaks a tracer across traces.
+    """
+    key = (n, inverse)
+    if key in _TWIDDLE_CACHE:
+        return _TWIDDLE_CACHE[key]
     w = primitive_root_of_unity(n)
     if inverse:
         w = finv(w)
     w_mont = jnp.asarray(int_to_limbs(w * (1 << 128) % PRIME), dtype=jnp.uint32)
-    count = max(n // 2, 1)
-    return _powers_device(w_mont, count)
+    tab = _powers_device(w_mont, max(n // 2, 1))
+    if isinstance(tab, jax.core.Tracer):
+        return tab
+    _TWIDDLE_CACHE[key] = np.asarray(tab)
+    return _TWIDDLE_CACHE[key]
 
 
 def powers(base: int, count: int) -> jax.Array:
@@ -102,47 +116,52 @@ def powers(base: int, count: int) -> jax.Array:
 def _ntt_core(x: jax.Array, tw: jax.Array, stages: int) -> jax.Array:
     """DIT butterflies on bit-reversed input -> natural-order output.
 
-    x: (8, n) Montgomery form, already bit-reverse permuted.
-    tw: (8, n//2) twiddle table [w^0 .. w^(n/2-1)].
+    x: (8, *batch, n) Montgomery form, already bit-reverse permuted along
+    the last axis; the transform runs over the last axis, vectorized over
+    any leading batch dims. tw: (8, n//2) twiddles [w^0 .. w^(n/2-1)].
     """
-    n = x.shape[1]
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    ones = (1,) * (len(lead) - 1)
     for s in range(1, stages + 1):
         m = 1 << s
         stride = n // m
-        w = tw[:, ::stride][:, : m // 2].reshape(NUM_LIMBS, 1, m // 2)
-        xs = x.reshape(NUM_LIMBS, n // m, 2, m // 2)
-        even, odd = xs[:, :, 0, :], xs[:, :, 1, :]
+        w = tw[:, ::stride][:, : m // 2].reshape((NUM_LIMBS,) + ones + (1, m // 2))
+        xs = x.reshape(lead + (n // m, 2, m // 2))
+        even, odd = xs[..., 0, :], xs[..., 1, :]
         t = fj.mont_mul(odd, jnp.broadcast_to(w, odd.shape))
         x = jnp.concatenate([fj.add(even, t), fj.sub(even, t)], axis=-1).reshape(
-            NUM_LIMBS, n
+            lead + (n,)
         )
     return x
 
 
 def ntt(coeffs_mont: jax.Array) -> jax.Array:
-    """Coefficients -> evaluations on <omega_n>, natural order, Montgomery form."""
+    """Coefficients -> evaluations on <omega_n>, natural order, Montgomery form.
+
+    Transforms the last axis; leading axes (after the limb axis) are batch.
+    """
     n = coeffs_mont.shape[-1]
     if not _is_pow2(n):
         raise ValueError(f"NTT size must be a power of two, got {n}")
     if n == 1:
         return coeffs_mont
     rev = jnp.asarray(bit_reverse_indices(n))
-    x = coeffs_mont[:, rev]
-    return _ntt_core(x, _twiddles(n, inverse=False), n.bit_length() - 1)
+    x = jnp.take(coeffs_mont, rev, axis=-1)
+    return _ntt_core(x, jnp.asarray(_twiddles(n, inverse=False)), n.bit_length() - 1)
 
 
 def intt(evals_mont: jax.Array) -> jax.Array:
-    """Inverse NTT: evaluations on <omega_n> -> coefficients."""
+    """Inverse NTT: evaluations on <omega_n> -> coefficients (batched)."""
     n = evals_mont.shape[-1]
     if not _is_pow2(n):
         raise ValueError(f"NTT size must be a power of two, got {n}")
     if n == 1:
         return evals_mont
     rev = jnp.asarray(bit_reverse_indices(n))
-    x = evals_mont[:, rev]
-    y = _ntt_core(x, _twiddles(n, inverse=True), n.bit_length() - 1)
-    n_inv = finv(n)
-    n_inv_mont = fj.full((1,), n_inv, mont=True)
+    x = jnp.take(evals_mont, rev, axis=-1)
+    y = _ntt_core(x, jnp.asarray(_twiddles(n, inverse=True)), n.bit_length() - 1)
+    n_inv_mont = fj.full((1,) * (y.ndim - 1), finv(n), mont=True)
     return fj.mont_mul(y, jnp.broadcast_to(n_inv_mont, y.shape))
 
 

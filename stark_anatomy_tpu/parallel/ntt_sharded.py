@@ -1,0 +1,141 @@
+"""Distributed NTT over a device mesh: four-step algorithm under shard_map.
+
+The reference has no distributed code (SURVEY.md section 0); this is the
+framework's communication-heavy component (SURVEY.md section 5.7-5.8),
+designed for ICI all-to-all rather than a port of anything:
+
+Global size-n transform with S shards, n = S * n2, input sharded in
+contiguous blocks (device d holds indices [d*n2, (d+1)*n2) — the natural
+codeword sharding). Writing i = i1*n2 + i2 and k = k1 + S*k2:
+
+    X[k1 + S*k2] = NTT_n2 over i2 [ w^(i2*k1) * NTT_S over i1 [ x ] ]
+
+1. all-to-all #1: transpose so device d holds ALL rows i1 for its i2
+   block — the size-S column transforms (the "cross-shard butterfly
+   stages") become local, batched over n2/S lanes;
+2. local size-S NTT + cross-twiddle multiply w^(i2*k1) (one fused
+   elementwise pass; the table is built on device, sharded, cached);
+3. all-to-all #2: regroup by k1 so the size-n2 row transform is local;
+4. local size-n2 NTT;
+5. all-to-all #3: restore natural contiguous-block output order.
+
+The inverse transform is the same structure over w^-1; the 1/n scale
+arrives for free as (1/S)*(1/n2) from the two local inverse NTTs.
+
+Outputs are bit-identical to the single-device ops/ntt.py transforms for
+every mesh shape (tested on an 8-device CPU mesh in tests/test_mesh.py) —
+the cross-mesh determinism requirement of SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import ntt as nttmod
+from stark_anatomy_tpu.ops.field import PRIME, finv, primitive_root_of_unity
+from stark_anatomy_tpu.ops.limbs import NUM_LIMBS, int_to_limbs
+from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS
+
+_shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
+if _shard_map is None:  # pragma: no cover - jax version fallback
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+_BUILT: Dict[Tuple, object] = {}
+
+
+@partial(jax.jit, static_argnames=("n2", "s", "inverse"))
+def _cross_twiddles(n2: int, s: int, inverse: bool) -> jax.Array:
+    """(8, n2, S) Montgomery table T[:, i2, k1] = w^(+-i2*k1), on device."""
+    n = n2 * s
+    w = primitive_root_of_unity(n)
+    if inverse:
+        w = finv(w)
+    a = nttmod.powers(w, n2)  # (8, n2): w^(i2)
+    cols = [nttmod.powers(1, n2)]  # w^0 column
+    for _ in range(1, s):
+        cols.append(fj.mont_mul(cols[-1], a))
+    return jnp.stack(cols, axis=-1)
+
+
+def _local_fourstep(x_local: jax.Array, tw_local: jax.Array, s: int, inverse: bool):
+    """Per-device body. x_local: (8, n2); tw_local: (8, n2/S, S)."""
+    n2 = x_local.shape[-1]
+    transform = nttmod.intt if inverse else nttmod.ntt
+    # 1. gather all i1 rows for our i2 block.
+    y = x_local.reshape(NUM_LIMBS, s, n2 // s)
+    y = jax.lax.all_to_all(y, SHARD_AXIS, split_axis=1, concat_axis=1, tiled=True)
+    # axis1 = i1 (source device), axis2 = j (i2 within our block)
+    y = jnp.transpose(y, (0, 2, 1))  # (8, j, i1)
+    # 2. size-S column transforms + cross twiddles.
+    y = transform(y)  # (8, j, k1)
+    y = fj.mont_mul(y, tw_local)
+    # 3. regroup by k1.
+    y = jax.lax.all_to_all(y, SHARD_AXIS, split_axis=2, concat_axis=1, tiled=True)
+    y = y[:, :, 0]  # (8, n2): all i2 (natural order), k1 = our device
+    # 4. size-n2 row transform: y[k2] = X[k1 + S*k2].
+    y = transform(y)
+    # 5. natural contiguous-block order: global k = k1 + S*k2.
+    z = y.reshape(NUM_LIMBS, s, n2 // s)  # axis1 = destination block e
+    z = jax.lax.all_to_all(z, SHARD_AXIS, split_axis=1, concat_axis=1, tiled=True)
+    # axis1 = source k1, axis2 = j; local position = j*S + k1.
+    return jnp.transpose(z, (0, 2, 1)).reshape(NUM_LIMBS, n2)
+
+
+def _build(mesh, n: int, inverse: bool):
+    s = mesh.shape[SHARD_AXIS]
+    n2 = n // s
+    if n % s or n2 % s:
+        raise ValueError(f"shard count {s} must divide n and n/S (n={n})")
+    tw = _cross_twiddles(n2, s, inverse)
+    body = _shard_map(
+        partial(_local_fourstep, s=s, inverse=inverse),
+        mesh=mesh,
+        in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS, None)),
+        out_specs=P(None, SHARD_AXIS),
+    )
+    tw = jax.device_put(tw, NamedSharding(mesh, P(None, SHARD_AXIS, None)))
+    return jax.jit(lambda x: body(x, tw))
+
+
+def sharded_ntt(x_mont: jax.Array, mesh, inverse: bool = False) -> jax.Array:
+    """Size-n NTT/iNTT of an (8, n) codeword sharded over `mesh`.
+
+    Semantically identical to ops/ntt.py ntt/intt; input/output sharded in
+    contiguous blocks along the domain axis (parallel/mesh.py
+    codeword_sharding). Compiled once per (mesh, n, inverse).
+    """
+    n = x_mont.shape[-1]
+    s = mesh.shape[SHARD_AXIS]
+    if s == 1:
+        return nttmod.intt(x_mont) if inverse else nttmod.ntt(x_mont)
+    key = (id(mesh), n, inverse)
+    if key not in _BUILT:
+        _BUILT[key] = _build(mesh, n, inverse)
+    return _BUILT[key](x_mont)
+
+
+def sharded_coset_evaluate(
+    coeffs_mont: jax.Array, domain_len: int, offset: int, mesh
+) -> jax.Array:
+    """Sharded analogue of ops/ntt.py coset_evaluate.
+
+    Scales coefficients by offset powers, zero-pads to `domain_len`, and
+    runs the sharded NTT. Padding/rescaling are elementwise/data-parallel;
+    XLA inserts the reshard for the length change.
+    """
+    n = coeffs_mont.shape[-1]
+    if n > domain_len:
+        raise ValueError("polynomial longer than the target domain")
+    off = nttmod.powers(offset, n)
+    scaled = fj.mont_mul(coeffs_mont, off)
+    if n < domain_len:
+        scaled = jnp.concatenate([scaled, fj.zeros((domain_len - n,))], axis=1)
+    sharding = NamedSharding(mesh, P(None, SHARD_AXIS))
+    scaled = jax.device_put(scaled, sharding)
+    return sharded_ntt(scaled, mesh)

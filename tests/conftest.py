@@ -1,17 +1,19 @@
 """Test environment: force the JAX CPU backend with 8 virtual devices.
 
 Tests are bit-exact integer math, so CPU vs TPU makes no numerical
-difference; 8 virtual devices let the mesh/sharding tests (tests/test_mesh.py)
-exercise real multi-device lowering without TPU hardware (SURVEY.md section 4).
-Must run before the first `import jax` anywhere in the test session.
+difference; 8 virtual devices let the mesh/sharding tests
+(tests/test_mesh.py) exercise real multi-device lowering without TPU
+hardware (SURVEY.md section 4).
+
+Gotcha: the environment's sitecustomize (axon TPU tunnel) imports jax at
+interpreter startup, so JAX_PLATFORMS in os.environ is latched before this
+file runs — the platform must be forced through jax.config instead.
+XLA_FLAGS is still read at first backend initialization, which happens
+later, so setting it here works.
 """
 
 import os
 
-# Force, don't setdefault: the environment ships JAX_PLATFORMS=axon (the
-# real-TPU tunnel), and running the bit-exact unit suite over the tunnel
-# is both slow (every compile crosses the wire) and unnecessary.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,3 +26,7 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+
+import jax  # noqa: E402  (after XLA_FLAGS; see module docstring)
+
+jax.config.update("jax_platforms", "cpu")

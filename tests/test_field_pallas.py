@@ -1,0 +1,58 @@
+"""Pallas field kernels vs the jnp reference — interpret mode on CPU."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import field_pallas as fp
+from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+N = 2048  # one multiple of rows*128 with rows=8 and 16
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(random_felt_limbs(rng, (N,)))
+    b = jnp.asarray(random_felt_limbs(rng, (N,)))
+    return a, b
+
+
+def test_add_matches(data):
+    a, b = data
+    np.testing.assert_array_equal(
+        np.asarray(fp.add(a, b, interpret=True)), np.asarray(fj.add(a, b))
+    )
+
+
+def test_sub_matches(data):
+    a, b = data
+    np.testing.assert_array_equal(
+        np.asarray(fp.sub(a, b, interpret=True)), np.asarray(fj.sub(a, b))
+    )
+
+
+def test_mont_mul_matches(data):
+    a, b = data
+    np.testing.assert_array_equal(
+        np.asarray(fp.mont_mul(a, b, interpret=True)), np.asarray(fj.mont_mul(a, b))
+    )
+
+
+def test_butterfly_matches(data):
+    a, b = data
+    rng = np.random.default_rng(1)
+    tw = jnp.asarray(random_felt_limbs(rng, (N,)))
+    hi, lo = fp.butterfly(a, b, tw, interpret=True)
+    t = fj.mont_mul(b, tw)
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(fj.add(a, t)))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(fj.sub(a, t)))
+
+
+def test_fallback_path_off_tpu(data):
+    # Without interpret, off-TPU inputs take the jnp fallback — results equal.
+    a, b = data
+    np.testing.assert_array_equal(
+        np.asarray(fp.mont_mul(a, b)), np.asarray(fj.mont_mul(a, b))
+    )

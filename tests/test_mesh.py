@@ -1,0 +1,81 @@
+"""Multi-device determinism: sharded ops == single-device ops, bit-exact.
+
+Runs on the 8-virtual-device CPU mesh from conftest (SURVEY.md section 4's
+simulated-mesh strategy). Exact integer math means ANY mismatch is a bug.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves
+from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import ntt as nttmod
+from stark_anatomy_tpu.ops.field import GENERATOR
+from stark_anatomy_tpu.ops.limbs import ints_to_limbs
+from stark_anatomy_tpu.parallel.mesh import codeword_sharding, make_mesh
+from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
+from stark_anatomy_tpu.parallel.ntt_sharded import (
+    sharded_coset_evaluate,
+    sharded_ntt,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def _random_codeword(n, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = [int(x) for x in rng.integers(0, 1 << 62, size=n)]
+    return fj.to_mont(jnp.asarray(ints_to_limbs(vals)))
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_sharded_ntt_matches_single_device(mesh8, n):
+    x = _random_codeword(n)
+    want = np.asarray(nttmod.ntt(x))
+    xs = jax.device_put(x, codeword_sharding(mesh8))
+    got = np.asarray(sharded_ntt(xs, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_intt_matches_and_roundtrips(mesh8):
+    x = _random_codeword(512, seed=1)
+    want = np.asarray(nttmod.intt(x))
+    xs = jax.device_put(x, codeword_sharding(mesh8))
+    got = np.asarray(sharded_ntt(xs, mesh8, inverse=True))
+    np.testing.assert_array_equal(got, want)
+    # round trip
+    back = np.asarray(sharded_ntt(sharded_ntt(xs, mesh8), mesh8, inverse=True))
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_sharded_coset_evaluate_matches(mesh8):
+    coeffs = _random_codeword(128, seed=2)
+    want = np.asarray(nttmod.coset_evaluate(coeffs, 512, GENERATOR))
+    got = np.asarray(sharded_coset_evaluate(coeffs, 512, GENERATOR, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_merkle_matches_single_device(mesh8):
+    rng = np.random.default_rng(3)
+    n = 256
+    cols_ints = [[int(x) for x in rng.integers(0, 1 << 62, size=n)] for _ in range(2)]
+    cols = [jnp.asarray(ints_to_limbs(c)) for c in cols_ints]
+    reference = MerkleTree.commit(hash_felt_leaves(cols))
+    tree = commit_sharded(cols, mesh8)
+    assert tree.root == reference.root
+    for idx in (0, 1, 100, 255):
+        assert tree.open(idx) == reference.open(idx)
+
+
+def test_mesh_size_1_fallback():
+    mesh1 = make_mesh(1)
+    x = _random_codeword(64, seed=4)
+    np.testing.assert_array_equal(
+        np.asarray(sharded_ntt(x, mesh1)), np.asarray(nttmod.ntt(x))
+    )
