@@ -1,0 +1,199 @@
+// Host-side native field arithmetic for F_p, p = 1 + 407*2^119.
+//
+// This is the framework's native runtime component: the TPU-native
+// equivalent of the reference's Rust L0/L1 layers (I320 wide integer +
+// FieldElement, /root/reference/src/field/types/base.rs and field.rs) for
+// the HOST side of the pipeline — trace generation (Rescue-Prime chains),
+// verifier-side scalar math, and batch helpers. Device-side arithmetic
+// lives in Pallas kernels (stark_anatomy_tpu/ops/field_pallas.py); this
+// file covers the sequential host work those kernels cannot take.
+//
+// Representation: values are 16-byte little-endian (the framework's
+// canonical encoding, stark_anatomy_tpu/utils/encoding.py), held
+// internally as unsigned __int128. Multiplication is Montgomery REDC with
+// R = 2^128 over 2x64-bit limbs; p = 1 + 407*2^119 gives p mod 2^64 = 1,
+// so the per-limb Montgomery constant is p' = 2^64 - 1 and m*p folds to
+// m + (m * (407*2^55) << 64) — one extra 64x64 multiply per REDC step
+// (same structural trick as the device kernels, see ops/limbs.py).
+//
+// Build: g++ -O2 -shared -fPIC -o libfield128.so field128.cpp
+// (loaded via ctypes from stark_anatomy_tpu/native/__init__.py; the
+// Python fallback implements identical semantics).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+typedef unsigned __int128 u128;
+typedef std::uint64_t u64;
+typedef std::uint8_t u8;
+
+// p = 1 + 407*2^119
+static const u128 P = ((u128)407 << 119) + 1;
+static const u64 P_HI = (u64)(P >> 64);      // 407 * 2^55
+// R^2 mod p, R = 2^128 (derivation: pow(2, 256, p); verified in tests
+// against the Python oracle).
+static const u64 R2_LO = 0x5bd53a7f0e778236ULL;
+static const u64 R2_HI = 0xaaf4ad9a1a6aedc2ULL;
+
+static inline u128 load128(const u8* src) {
+    u128 v;
+    std::memcpy(&v, src, 16);  // little-endian hosts only (x86/ARM)
+    return v;
+}
+
+static inline void store128(u8* dst, u128 v) { std::memcpy(dst, &v, 16); }
+
+static inline u128 add_mod(u128 a, u128 b) {
+    // a, b < p < 2^128; a+b may wrap 2^128.
+    u128 s = a + b;
+    if (s < a || s >= P) s -= P;  // wrap implies s-P is the reduced value
+    return s;
+}
+
+static inline u128 sub_mod(u128 a, u128 b) {
+    return a >= b ? a - b : a + (P - b);
+}
+
+// Montgomery product: a * b * R^{-1} mod p (a, b < p).
+static inline u128 mont_mul(u128 a, u128 b) {
+    u64 a0 = (u64)a, a1 = (u64)(a >> 64);
+    u64 b0 = (u64)b, b1 = (u64)(b >> 64);
+    // 256-bit product t3..t0 via 64x64->128 partials.
+    u128 p00 = (u128)a0 * b0;
+    u128 p01 = (u128)a0 * b1;
+    u128 p10 = (u128)a1 * b0;
+    u128 p11 = (u128)a1 * b1;
+    u64 t0 = (u64)p00;
+    u128 mid = (p00 >> 64) + (u64)p01 + (u64)p10;
+    u64 t1 = (u64)mid;
+    u128 hi = (mid >> 64) + (p01 >> 64) + (p10 >> 64) + p11;  // fits: <= 2^128-1
+    // REDC step i=0: m0 = t0 * p' mod 2^64, p' = 2^64 - 1 => m0 = -t0.
+    // REDC step i=1 analogous; do both on the 2-limb view.
+    // T += m0 * p; T >>= 64;  T += m1 * p; T >>= 64
+    // with m*p = m + (m * P_HI << 64).
+    u64 m0 = (u64)(0 - t0);
+    // T_low limbs after += m0 * p:
+    u128 c = (u128)t0 + m0;                 // low limb; result limb = 0
+    u128 mp0 = (u128)m0 * P_HI;             // contributes at limb 1 and 2
+    c = (c >> 64) + t1 + (u64)mp0;
+    u64 u1 = (u64)c;                         // becomes the new low limb
+    u128 carry_hi = (c >> 64) + (mp0 >> 64); // into limb 2
+    u64 m1 = (u64)(0 - u1);
+    u128 c2 = (u128)u1 + m1;                // low limb becomes zero
+    u128 mp1 = (u128)m1 * P_HI;
+    // Result = hi + carry_hi + carry(c2) + mp1, < 2p; track 2^128 wrap.
+    u128 s1 = hi + carry_hi;
+    bool ov = s1 < hi;
+    u128 s2 = s1 + (c2 >> 64);
+    ov |= s2 < s1;
+    u128 res = s2 + mp1;
+    ov |= res < s2;
+    if (ov || res >= P) res -= P;  // wrapped res-P == value-p mod 2^128
+    return res;
+}
+
+static inline u128 to_mont(u128 a) {
+    u128 r2 = ((u128)R2_HI << 64) | R2_LO;
+    return mont_mul(a, r2);
+}
+
+static inline u128 from_mont(u128 a) { return mont_mul(a, 1); }
+
+static inline u128 mul_mod(u128 a, u128 b) { return mont_mul(to_mont(a), b); }
+
+static inline u128 pow_mod(u128 base, u128 exp) {
+    u128 result = 1;
+    u128 b = base % P;
+    while (exp) {
+        if (exp & 1) result = mul_mod(result, b);
+        b = mul_mod(b, b);
+        exp >>= 1;
+    }
+    return result;
+}
+
+extern "C" {
+
+void felt_add_batch(const u8* a, const u8* b, u8* out, size_t n) {
+    for (size_t i = 0; i < n; ++i)
+        store128(out + 16 * i, add_mod(load128(a + 16 * i), load128(b + 16 * i)));
+}
+
+void felt_sub_batch(const u8* a, const u8* b, u8* out, size_t n) {
+    for (size_t i = 0; i < n; ++i)
+        store128(out + 16 * i, sub_mod(load128(a + 16 * i), load128(b + 16 * i)));
+}
+
+void felt_mul_batch(const u8* a, const u8* b, u8* out, size_t n) {
+    for (size_t i = 0; i < n; ++i)
+        store128(out + 16 * i, mul_mod(load128(a + 16 * i), load128(b + 16 * i)));
+}
+
+// out[i] = base[i] ^ exp (one shared 128-bit exponent).
+void felt_pow_batch(const u8* base, const u8* exp16, u8* out, size_t n) {
+    u128 e = load128(exp16);
+    for (size_t i = 0; i < n; ++i)
+        store128(out + 16 * i, pow_mod(load128(base + 16 * i), e));
+}
+
+// Fermat inverse; 0 maps to 0 (callers guard).
+void felt_inv_batch(const u8* a, u8* out, size_t n) {
+    u128 e = P - 2;
+    for (size_t i = 0; i < n; ++i)
+        store128(out + 16 * i, pow_mod(load128(a + 16 * i), e));
+}
+
+// out[i] = base ^ i for i < n (powers table).
+void felt_powers(const u8* base16, u8* out, size_t n) {
+    u128 b = load128(base16) % P;
+    u128 cur = 1;
+    for (size_t i = 0; i < n; ++i) {
+        store128(out + 16 * i, cur);
+        cur = mul_mod(cur, b);
+    }
+}
+
+// Rescue-Prime chain trace (models/rescue_prime.py semantics):
+//   state = [input, 0]; row t applies round t mod N; K*N rounds total.
+// mds16/mds_inv16: 4 values row-major; consts16: 2*m*N values; out_rows:
+// (K*N+1) * m * 16 bytes. alpha = 3; alpha_inv passed in (1/3 mod p-1).
+void rescue_chain_trace(const u8* input16, u64 chain_length, u64 n_rounds,
+                        const u8* mds16, const u8* consts16,
+                        const u8* alpha_inv16, u8* out_rows) {
+    const int m = 2;
+    u128 mds[4];
+    for (int i = 0; i < 4; ++i) mds[i] = load128(mds16 + 16 * i);
+    u128 ainv = load128(alpha_inv16);
+    u128 state[2] = {load128(input16) % P, 0};
+    store128(out_rows + 0, state[0]);
+    store128(out_rows + 16, state[1]);
+    u64 total = chain_length * n_rounds;
+    for (u64 t = 0; t < total; ++t) {
+        u64 r = t % n_rounds;
+        const u8* c1 = consts16 + 16 * (2 * m * r);
+        const u8* c2 = consts16 + 16 * (2 * m * r + m);
+        u128 cubed[2], mid[2];
+        for (int i = 0; i < m; ++i) {
+            u128 x = state[i];
+            cubed[i] = mul_mod(mul_mod(x, x), x);
+        }
+        for (int i = 0; i < m; ++i) {
+            u128 acc = add_mod(mul_mod(mds[2 * i], cubed[0]),
+                               mul_mod(mds[2 * i + 1], cubed[1]));
+            mid[i] = add_mod(acc, load128(c1 + 16 * i));
+        }
+        u128 root[2];
+        for (int i = 0; i < m; ++i) root[i] = pow_mod(mid[i], ainv);
+        for (int i = 0; i < m; ++i) {
+            u128 acc = add_mod(mul_mod(mds[2 * i], root[0]),
+                               mul_mod(mds[2 * i + 1], root[1]));
+            state[i] = add_mod(acc, load128(c2 + 16 * i));
+        }
+        u8* row = out_rows + 16 * (size_t)m * (t + 1);
+        store128(row + 0, state[0]);
+        store128(row + 16, state[1]);
+    }
+}
+
+}  // extern "C"

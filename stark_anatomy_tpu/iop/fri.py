@@ -151,14 +151,16 @@ class Fri:
         rounds = self.num_rounds
         omega, offset = self.omega, self.offset
 
-        codewords_host: List[np.ndarray] = []  # canonical ints per round
+        codewords_host: List[np.ndarray] = []  # canonical LIMB arrays per round
         trees: List[MerkleTree] = []
         codeword = codeword_mont
         for r in range(rounds):
             standard = fj.from_mont(codeword)
-            values = limbs_to_ints(np.asarray(standard))
             tree = MerkleTree.commit(hash_felt_leaves([standard]))
-            codewords_host.append(values)
+            # Keep limbs on host; individual ints are extracted only at the
+            # handful of queried indices (a full-codeword Python-int
+            # conversion costs O(n) bigint ops per round at scale).
+            codewords_host.append(np.asarray(standard))
             trees.append(tree)
             proof_stream.push({"fri_root": digest_to_item(tree.root)})
             if r == rounds - 1:
@@ -168,8 +170,9 @@ class Fri:
             omega = omega * omega % PRIME
             offset = offset * offset % PRIME
 
+        last_values = limbs_to_ints(codewords_host[-1])
         proof_stream.push(
-            {"fri_last_codeword": [felt_to_item(int(v)) for v in codewords_host[-1]]}
+            {"fri_last_codeword": [felt_to_item(int(v)) for v in last_values]}
         )
 
         # Query phase: indices from the transcript AFTER the last codeword.
@@ -190,11 +193,15 @@ class Fri:
         return top_indices
 
     def _query_round(self, current, current_tree, nxt, next_tree, indices, proof_stream):
-        half = len(current) // 2
+        from stark_anatomy_tpu.ops.limbs import limbs_to_int
+
+        half = current.shape[-1] // 2
         points = []
         paths = []
         for i in indices:
-            a, b, c = int(current[i]), int(current[i + half]), int(nxt[i])
+            a = limbs_to_int(current[:, i])
+            b = limbs_to_int(current[:, i + half])
+            c = limbs_to_int(nxt[:, i])
             points.append([felt_to_item(a), felt_to_item(b), felt_to_item(c)])
             paths.append(
                 [

@@ -127,7 +127,18 @@ class RescuePrime:
         permutations is K*N uniform steps. Returns (K*N + 1, m) object
         array of ints. Row 0 = [input, 0, ...]; output = last row's first
         element (== iterating `permutation` K times).
+
+        Generation runs in the native C++ library when available (the
+        chain is inherently sequential — host work; tests pin native ==
+        Python row-for-row) and falls back to exact Python here.
         """
+        from stark_anatomy_tpu import native
+
+        if native.AVAILABLE and self.m == 2:
+            return native.rescue_chain_trace(self, input_element, chain_length)
+        return self._trace_py(input_element, chain_length)
+
+    def _trace_py(self, input_element: int, chain_length: int = 1) -> np.ndarray:
         state = [input_element % PRIME] + [0] * (self.m - 1)
         rows = [list(state)]
         for t in range(chain_length * self.N):

@@ -181,6 +181,22 @@ def _init_state(like):
     )
 
 
+def _to_planes(words_t: jax.Array) -> jax.Array:
+    """(k, batch) -> (k, rows, 128) word planes (batch padded to 128).
+
+    The batch then spans full (rows, 128) VPU tiles — one relayout at the
+    boundary instead of half-empty sublane tiles through all 12 rounds.
+    """
+    k, batch = words_t.shape
+    rows = (batch + 127) // 128
+    pad = rows * 128 - batch
+    if pad:
+        words_t = jnp.concatenate(
+            [words_t, jnp.zeros((k, pad), dtype=_U32)], axis=1
+        )
+    return words_t.reshape(k, rows, 128)
+
+
 @partial(jax.jit, static_argnames=("msg_len",))
 def blake2b_u32(msg_words: jax.Array, msg_len: int) -> jax.Array:
     """Batched unkeyed Blake2b-512 over fixed-length messages.
@@ -202,16 +218,17 @@ def blake2b_u32(msg_words: jax.Array, msg_len: int) -> jax.Array:
         msg_words = jnp.concatenate(
             [msg_words, jnp.zeros((batch, pad), dtype=_U32)], axis=1
         )
-    h_lo, h_hi = _init_state(msg_words.T)
+    planes = _to_planes(msg_words.T)  # (32*n_blocks, rows, 128)
+    h_lo, h_hi = _init_state(planes)
     for blk in range(n_blocks):
-        block = msg_words[:, 32 * blk : 32 * (blk + 1)]
-        m_lo = block[:, 0::2].T  # (16, batch)
-        m_hi = block[:, 1::2].T
+        block = planes[32 * blk : 32 * (blk + 1)]
+        m_lo = block[0::2]  # (16, rows, 128)
+        m_hi = block[1::2]
         last = blk == n_blocks - 1
         t = msg_len if last else 128 * (blk + 1)
         h_lo, h_hi = _compress(h_lo, h_hi, m_lo, m_hi, t, last)
-    # Interleave halves back to 16 little-endian words per digest.
-    return jnp.stack([h_lo, h_hi], axis=1).reshape(16, batch).T
+    out = jnp.stack([h_lo, h_hi], axis=1).reshape(16, -1)  # (16, rows*128)
+    return out[:, :batch].T
 
 
 @jax.jit
@@ -222,12 +239,15 @@ def merkle_node_hash(left: jax.Array, right: jax.Array) -> jax.Array:
     exactly one Blake2b block, so a Merkle reduction level is ONE fused
     compression call (merkle.rs:47-55 semantics).
     """
-    msg = jnp.concatenate([left, right], axis=1)
-    m_lo = msg[:, 0::2].T
-    m_hi = msg[:, 1::2].T
+    batch = left.shape[0]
+    msg = jnp.concatenate([left, right], axis=1)  # (batch, 32)
+    planes = _to_planes(msg.T)
+    m_lo = planes[0::2]
+    m_hi = planes[1::2]
     h_lo, h_hi = _init_state(m_lo)
     h_lo, h_hi = _compress(h_lo, h_hi, m_lo, m_hi, 128, True)
-    return jnp.stack([h_lo, h_hi], axis=1).reshape(16, -1).T
+    out = jnp.stack([h_lo, h_hi], axis=1).reshape(16, -1)
+    return out[:, :batch].T
 
 
 # -- host-side helpers (exact, tiny) ---------------------------------------

@@ -1,21 +1,33 @@
-"""Vectorized F_p arithmetic on limb arrays — pure jnp / XLA.
+"""Vectorized F_p arithmetic on limb arrays — pure jnp / XLA, full-tensor.
 
 All functions take and return uint32 arrays of shape ``(8, *batch)``
 (see ops/limbs.py for the representation). This module is the
-*obviously-correct, any-backend* implementation; ops/field_pallas.py
-provides hand-tiled TPU kernels with identical semantics, tested against
-this module and against the host oracle (ops/field.py).
+any-backend implementation; ops/field_pallas.py provides hand-tiled TPU
+kernels with identical semantics, tested against this module and against
+the host oracle (ops/field.py).
 
-Multiplication uses Montgomery REDC (R = 2^128) instead of the reference's
-per-op 320-bit division (/root/reference/src/field/types/base.rs:125-137);
-see ops/limbs.py for why REDC is nearly free for this p.
+Design rule: NO per-limb row slicing in hot paths. Slicing row i of an
+(8, n) array crosses TPU sublane tiles and costs a relayout per slice —
+measured ~50x over a plain elementwise op. Instead every operation is a
+short sequence of FULL (8, *batch) tensor ops:
 
-Montgomery-form convention: the *device pipeline* (NTT, constraint
-evaluation, FRI folding) keeps values in Montgomery form (x̃ = x*R mod p);
-`mont_mul(ã, b̃) = (a*b)~`. Addition/subtraction/negation/equality are
+- carry propagation is branch-free Kogge-Stone over the limb axis
+  (3 doubling steps for 8 limbs) after one coarse pass — O(log limbs)
+  tensor ops instead of an 8-step sliced ripple;
+- multiplication uses the textbook FULL Montgomery REDC, R = 2^128:
+  m = (T mod R) * p' mod R, result = (T + m*p)/R, exploiting that
+  p = 1 + 52096*2^112 makes m*p just  m + (m*52096 << 112)
+  (see ops/limbs.py for why the reference's per-op 320-bit division,
+  /root/reference/src/field/types/base.rs:125-137, is replaced by REDC);
+- the schoolbook digit products accumulate in 16 uint32 columns with
+  headroom (each column < 2^21), normalized once.
+
+Montgomery-form convention: the device pipeline (NTT, constraint
+evaluation, FRI folding) keeps values in Montgomery form (x~ = x*R mod p);
+`mont_mul(a~, b~) = (a*b)~`. Addition/subtraction/negation/equality are
 form-agnostic. Convert with `to_mont` / `from_mont` at commitment and
-serialization boundaries so all persisted bytes are canonical standard form
-(required for cross-mesh-shape proof determinism, SURVEY.md section 7).
+serialization boundaries so all persisted bytes are canonical standard
+form (required for cross-mesh-shape proof determinism, SURVEY.md sec 7).
 """
 
 from __future__ import annotations
@@ -28,30 +40,74 @@ import numpy as np
 
 from stark_anatomy_tpu.ops.field import PRIME
 from stark_anatomy_tpu.ops.limbs import (
-    COMP_P_LIMBS,
     LIMB_BITS,
     LIMB_MASK,
     NUM_LIMBS,
-    P_LIMBS,
-    P_TOP_DIGIT,
     R2_MOD_P,
     R_MOD_P,
     int_to_limbs,
 )
 
 _U32 = jnp.uint32
-_MASK = jnp.uint32(LIMB_MASK)
+_MASK = np.uint32(LIMB_MASK)
+_SH = np.uint32(LIMB_BITS)
+
+#: 2^128 - p as 8 digits (adding it == subtracting p, mod 2^128).
+_R_MINUS_P = tuple(
+    ((1 << 128) - PRIME) >> (LIMB_BITS * i) & LIMB_MASK for i in range(NUM_LIMBS)
+)
+_P_DIGITS = tuple(PRIME >> (LIMB_BITS * i) & LIMB_MASK for i in range(NUM_LIMBS))
+#: p' = -p^{-1} mod 2^128 (Montgomery constant for full REDC).
+_P_PRIME = (-pow(PRIME, -1, 1 << 128)) % (1 << 128)
+_P_PRIME_DIGITS = tuple(
+    _P_PRIME >> (LIMB_BITS * i) & LIMB_MASK for i in range(NUM_LIMBS)
+)
+_P_TOP = np.uint32(52096)  # p = 1 + 52096 * 2^112
 
 
-def _const_limbs(value: int, like: jax.Array) -> jax.Array:
-    """(8,) constant broadcast against `like`'s batch dims."""
-    c = jnp.asarray(int_to_limbs(value), dtype=_U32)
-    return c.reshape((NUM_LIMBS,) + (1,) * (like.ndim - 1))
+def _const_col(digits, like: jax.Array, limbs: int | None = None) -> jax.Array:
+    """(limbs, 1, ..) broadcastable constant column."""
+    limbs = limbs if limbs is not None else len(digits)
+    c = np.asarray(digits[:limbs], dtype=np.uint32)
+    return jnp.asarray(c).reshape((limbs,) + (1,) * (like.ndim - 1))
+
+
+def _shift_up(x: jax.Array, k: int) -> jax.Array:
+    """Limb index i receives x[i-k]; zeros shift in at the bottom."""
+    if k == 0:
+        return x
+    pad = jnp.zeros_like(x[:k])
+    return jnp.concatenate([pad, x[: x.shape[0] - k]], axis=0)
+
+
+def _resolve_carries(s: jax.Array, coarse: int = 1) -> tuple[jax.Array, jax.Array]:
+    """Digits (any values < 2^32) -> (digits < 2^16, total carry out).
+
+    `coarse` extra passes fold multi-bit carries (digit values up to
+    2^(16+c*16)); the final 0/1 ripple is Kogge-Stone. Returns the carry
+    word that overflowed past the top limb (sum of carries out, < 2^16).
+    """
+    limbs = s.shape[0]
+    overflow = jnp.zeros_like(s[:1])
+    for _ in range(coarse):
+        c = s >> _SH
+        overflow = overflow + c[limbs - 1 :]
+        s = (s & _MASK) + _shift_up(c, 1)
+    # Now digits <= 2^16 (value 2^16 possible): one 0/1 carry round via KS.
+    g = s >> _SH  # generate: 0/1
+    lo = s & _MASK
+    p = (lo == _MASK).astype(_U32)
+    steps = 1
+    while steps < limbs:
+        g = g | (p & _shift_up(g, steps))
+        p = p & _shift_up(p, steps)
+        steps *= 2
+    overflow = overflow + g[limbs - 1 :]
+    res = (lo + _shift_up(g, 1)) & _MASK
+    return res, overflow[0]
 
 
 def _check_limbs(*arrays) -> None:
-    """Trace-time shape guard: JAX clamps out-of-range indices, so a wrong
-    limb axis would silently compute garbage instead of raising."""
     for x in arrays:
         if x.ndim < 1 or x.shape[0] != NUM_LIMBS:
             raise ValueError(
@@ -59,155 +115,145 @@ def _check_limbs(*arrays) -> None:
             )
 
 
-def _cond_sub_p(digits: list[jax.Array], carry_out: jax.Array) -> jax.Array:
-    """Given a value < 2p as 8 digits + a bit-128 carry, return value mod p.
+def _cond_sub_p(digits: jax.Array, ge_extra: jax.Array) -> jax.Array:
+    """Canonical digits + "definitely >= p" mask -> value mod p.
 
-    Borrow-free compare-and-subtract: u = digits + (2^128 - p); the carry out
-    of that addition (or the incoming bit-128 carry) says digits >= p.
+    digits < 2^16 each, value < 2p; ge_extra: (batch,) nonzero where the
+    (dropped) bit-128 carry was set.
     """
-    u = []
-    c = jnp.uint32(1)  # +1 completes the two's complement of p
-    for i in range(NUM_LIMBS):
-        t = digits[i] + jnp.uint32(COMP_P_LIMBS[i]) + c
-        u.append(t & _MASK)
-        c = t >> LIMB_BITS
-    ge = (carry_out | c).astype(jnp.bool_)
-    return jnp.stack(
-        [jnp.where(ge, u[i], digits[i]) for i in range(NUM_LIMBS)], axis=0
-    ).astype(_U32)
+    s = digits + _const_col(_R_MINUS_P, digits)
+    sub, carry = _resolve_carries(s)
+    ge = (ge_extra | carry) != 0
+    return jnp.where(ge[None], sub, digits)
 
 
 @jax.jit
 def add(a: jax.Array, b: jax.Array) -> jax.Array:
     """(a + b) mod p, canonical in -> canonical out."""
     _check_limbs(a, b)
-    digits = []
-    carry = jnp.uint32(0)
-    for i in range(NUM_LIMBS):
-        t = a[i] + b[i] + carry
-        digits.append(t & _MASK)
-        carry = t >> LIMB_BITS
-    return _cond_sub_p(digits, carry)
+    s, carry = _resolve_carries(a + b)
+    return _cond_sub_p(s, carry)
+
+
+@jax.jit
+def sub(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a - b) mod p: a + (2^128-1 - b) + 1, plus p when it borrows."""
+    _check_limbs(a, b)
+    s = a + (_MASK - b)
+    # +1 at limb 0 via a constant column.
+    s = s + _const_col((1,) + (0,) * (NUM_LIMBS - 1), a)
+    d, carry = _resolve_carries(s)
+    borrowed = carry == 0  # no wrap => a < b
+    e, _ = _resolve_carries(d + _const_col(_P_DIGITS, a))
+    return jnp.where(borrowed[None], e, d)
 
 
 @jax.jit
 def neg(a: jax.Array) -> jax.Array:
     """(-a) mod p = p - a (and 0 -> 0)."""
     _check_limbs(a)
-    digits = []
-    borrow_comp = jnp.uint32(1)
-    nonzero = is_nonzero(a)
-    for i in range(NUM_LIMBS):
-        # p - a via p + comp(a) + 1 (carry out is guaranteed for a != 0).
-        t = jnp.uint32(P_LIMBS[i]) + (jnp.uint32(LIMB_MASK) - a[i]) + borrow_comp
-        digits.append(jnp.where(nonzero, t & _MASK, jnp.uint32(0)))
-        borrow_comp = t >> LIMB_BITS
-    return jnp.stack(digits, axis=0).astype(_U32)
+    s = _const_col(_P_DIGITS, a) + (_MASK - a)
+    s = s + _const_col((1,) + (0,) * (NUM_LIMBS - 1), a)
+    d, _ = _resolve_carries(s)
+    nz = is_nonzero(a)
+    return jnp.where(nz[None], d, jnp.zeros_like(a))
 
 
-@jax.jit
-def sub(a: jax.Array, b: jax.Array) -> jax.Array:
-    """(a - b) mod p. a - b, plus p on borrow — one pass, no neg round-trip."""
-    _check_limbs(a, b)
-    # a + comp(b) + 1 == a - b + 2^128; carry-out c == 1 iff a >= b.
-    d = []
-    c = jnp.uint32(1)
-    for i in range(NUM_LIMBS):
-        t = a[i] + (jnp.uint32(LIMB_MASK) - b[i]) + c
-        d.append(t & _MASK)
-        c = t >> LIMB_BITS
-    borrowed = c == 0  # a < b: result currently a - b + 2^128; add p - 2^128
-    # p - 2^128 == -(2^128 - p); adding p then dropping the 2^128 excess:
-    e = []
-    c2 = jnp.uint32(0)
-    for i in range(NUM_LIMBS):
-        t = d[i] + jnp.uint32(P_LIMBS[i]) + c2
-        e.append(t & _MASK)
-        c2 = t >> LIMB_BITS
-    return jnp.stack(
-        [jnp.where(borrowed, e[i], d[i]) for i in range(NUM_LIMBS)], axis=0
-    ).astype(_U32)
+def _mul_digits_low(a: jax.Array, b_rows: list, columns: int) -> jax.Array:
+    """Schoolbook digit product, keeping only `columns` output columns.
+
+    a: (8, *batch) digits < 2^16; b_rows: list of 8 (1, *batch) rows (or
+    broadcastable constants). Result digits UNNORMALIZED (< 2^21).
+    """
+    batch_shape = a.shape[1:]
+    acc = jnp.zeros((columns,) + batch_shape, dtype=_U32)
+    for j in range(min(NUM_LIMBS, columns)):
+        prod = a * b_rows[j]  # (8, *batch): a_i * b_j, exact in u32
+        lo = prod & _MASK
+        hi = prod >> _SH
+        lo_p = _pad_to(lo, j, columns)
+        hi_p = _pad_to(hi, j + 1, columns)
+        acc = acc + lo_p
+        if hi_p is not None:
+            acc = acc + hi_p
+    return acc
+
+
+def _pad_to(x: jax.Array, offset: int, columns: int):
+    """Place x's limbs at [offset, offset+8) in a `columns`-limb array."""
+    take = min(x.shape[0], columns - offset)
+    if take <= 0:
+        return None
+    pieces = []
+    if offset:
+        pieces.append(jnp.zeros((offset,) + x.shape[1:], dtype=_U32))
+    pieces.append(x[:take])
+    tail = columns - offset - take
+    if tail:
+        pieces.append(jnp.zeros((tail,) + x.shape[1:], dtype=_U32))
+    return jnp.concatenate(pieces, axis=0)
 
 
 @jax.jit
 def mont_mul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Montgomery product REDC(a * b) = a*b*R^{-1} mod p, R = 2^128.
 
-    Canonical (< p) in -> canonical out. Schoolbook 8x8 digit products
-    accumulated as 16-bit lo/hi pieces in 16 uint32 columns (max column
-    value < 2^22 — no overflow), then 8 interleaved carry/REDC digit steps
-    with m = (-t_i) mod 2^16 and m*p folded in as m + m*52096<<112.
+    Canonical (< p) in -> canonical out. Full REDC:
+      T = a*b (16 columns);  m = (T mod R) * p' mod R;
+      result = (T + m*p) / R, with m*p = m + (m*52096 << 112).
     """
     _check_limbs(a, b)
-    # Phase 1: schoolbook partial products, lo/hi split per column.
-    t = [None] * (2 * NUM_LIMBS)
-
-    def _acc(k, v):
-        t[k] = v if t[k] is None else t[k] + v
-
-    for i in range(NUM_LIMBS):
-        ai = a[i]
-        for j in range(NUM_LIMBS):
-            prod = ai * b[j]  # uint32: (2^16-1)^2 < 2^32, exact
-            _acc(i + j, prod & _MASK)
-            _acc(i + j + 1, prod >> LIMB_BITS)
-    zero = jnp.zeros_like(a[0])
-    t = [zero if x is None else x for x in t]
-
-    # Phase 2: 8 REDC digit steps, carries folded serially.
-    top = jnp.uint32(P_TOP_DIGIT)
-    carry = zero
-    for i in range(NUM_LIMBS):
-        ti = t[i] + carry
-        m = (jnp.uint32(0x10000) - (ti & _MASK)) & _MASK  # (-ti) mod 2^16
-        ti = ti + m  # += m * p_limbs[0] (== m); low 16 bits become 0
-        carry = ti >> LIMB_BITS
-        mp = m * top  # m * 52096 < 2^32
-        t[i + 7] = t[i + 7] + (mp & _MASK)
-        t[i + 8] = t[i + 8] + (mp >> LIMB_BITS)  # i+8 <= 15 always
-
-    # Phase 3: final carry propagation over the high half (the result).
-    digits = []
-    for i in range(NUM_LIMBS, 2 * NUM_LIMBS):
-        ti = t[i] + carry
-        digits.append(ti & _MASK)
-        carry = ti >> LIMB_BITS
-    # carry is now the bit-128 overflow; REDC result < 2p.
-    return _cond_sub_p(digits, carry)
+    b_rows = [b[j][None] for j in range(NUM_LIMBS)]
+    t_acc = _mul_digits_low(a, b_rows, 2 * NUM_LIMBS)
+    t, t_over = _resolve_carries(t_acc, coarse=2)  # t_over adds at column 16 — but
+    # column 16 does not exist: the full product < p^2 < R*p fits 16 digits,
+    # so the overflow out of column 15 is zero by construction.
+    t_lo = t[:NUM_LIMBS]
+    m_acc = _mul_digits_low(t_lo, [jnp.asarray(np.uint32(d)) for d in _P_PRIME_DIGITS], NUM_LIMBS)
+    m, _ = _resolve_carries(m_acc, coarse=2)  # mod 2^128: drop overflow
+    # m * 52096: digits < 2^16 * 52096 < 2^32 — exact.
+    mp = m * _P_TOP
+    mp_lo = mp & _MASK
+    mp_hi = mp >> _SH
+    # T + m + (mp << 112): build the 16-column sum.
+    s = t.astype(_U32)
+    s = s + _pad_to(m, 0, 2 * NUM_LIMBS)
+    s = s + _pad_to(mp_lo, 7, 2 * NUM_LIMBS)
+    s = s + _pad_to(mp_hi, 8, 2 * NUM_LIMBS)
+    r, r_over = _resolve_carries(s, coarse=1)
+    # low 8 digits are zero (REDC invariant); result = high 8 digits,
+    # value < 2p; r_over is the bit-256 carry — impossible (T+mp < R*p + R*p).
+    hi = r[NUM_LIMBS:]
+    # The carry out of column 15 IS significant: (T + m*p) < 2*R*p < R*2^128
+    # means no 17th digit... except 2p > 2^128: bit 128 of the HIGH half.
+    return _cond_sub_p(hi, r_over)
 
 
 @jax.jit
 def to_mont(a: jax.Array) -> jax.Array:
     """Standard -> Montgomery form: a*R mod p = mont_mul(a, R^2)."""
-    return mont_mul(a, _const_limbs(R2_MOD_P, a))
+    return mont_mul(a, jnp.broadcast_to(_const_col(int_to_limbs(R2_MOD_P), a), a.shape))
 
 
 @jax.jit
 def from_mont(a: jax.Array) -> jax.Array:
-    """Montgomery -> standard form: mont_mul(ã, 1) = (x*R)*R^{-1} = x."""
-    return mont_mul(a, _const_limbs(1, a))
+    """Montgomery -> standard form: mont_mul(a~, 1) = (x*R)*R^{-1} = x."""
+    return mont_mul(a, jnp.broadcast_to(_const_col(int_to_limbs(1), a), a.shape))
 
 
 @jax.jit
 def mul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Plain (a * b) mod p on standard-form inputs (two REDC passes)."""
-    return mont_mul(mont_mul(a, b), _const_limbs(R2_MOD_P, a))
+    return mont_mul(mont_mul(a, b), jnp.broadcast_to(_const_col(int_to_limbs(R2_MOD_P), a), a.shape))
 
 
 @partial(jax.jit, static_argnames=("exponent", "a_is_mont"))
 def pow_const(a: jax.Array, exponent: int, a_is_mont: bool = True) -> jax.Array:
-    """a^exponent (exponent a static Python int) via square-and-multiply.
-
-    Implemented as a ``lax.scan`` over the exponent bits (LSB first) so the
-    compiled graph stays small (2 mont_muls per step) even for 128-bit
-    exponents like the Fermat inverse. Operates in Montgomery form
-    internally; input/output in Montgomery form when `a_is_mont`, standard
-    form otherwise.
-    """
+    """a^exponent (static int) via an LSB-first square-and-multiply scan."""
     if exponent < 0:
         raise ValueError("negative exponents: use inv() then pow_const")
     am = a if a_is_mont else to_mont(a)
-    one_m = jnp.broadcast_to(_const_limbs(R_MOD_P, a), a.shape).astype(_U32)
+    one_m = jnp.broadcast_to(_const_col(int_to_limbs(R_MOD_P), a), a.shape).astype(_U32)
     if exponent == 0:
         result = one_m
     else:
@@ -228,32 +274,20 @@ def pow_const(a: jax.Array, exponent: int, a_is_mont: bool = True) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("a_is_mont",))
 def inv(a: jax.Array, a_is_mont: bool = True) -> jax.Array:
-    """Batched modular inverse via Fermat: a^(p-2).
-
-    Fully parallel across lanes (~190 mont_muls of depth), unlike
-    Montgomery's batch-inversion trick whose prefix products serialize on
-    the batch axis — on TPU the Fermat ladder wins. 0 maps to 0 (callers
-    must guard if zero is an error).
-    """
+    """Batched modular inverse via Fermat: a^(p-2); 0 maps to 0."""
     return pow_const(a, PRIME - 2, a_is_mont=a_is_mont)
 
 
 @jax.jit
 def is_nonzero(a: jax.Array) -> jax.Array:
     """Boolean batch mask: element != 0 (canonical form assumed)."""
-    acc = a[0]
-    for i in range(1, NUM_LIMBS):
-        acc = acc | a[i]
-    return acc != 0
+    return jnp.max(a, axis=0) != 0
 
 
 @jax.jit
 def eq(a: jax.Array, b: jax.Array) -> jax.Array:
     """Boolean batch mask: a == b digit-wise (same form, canonical)."""
-    acc = a[0] == b[0]
-    for i in range(1, NUM_LIMBS):
-        acc = jnp.logical_and(acc, a[i] == b[i])
-    return acc
+    return jnp.all(a == b, axis=0)
 
 
 def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
@@ -272,4 +306,3 @@ def full(shape: tuple[int, ...], value: int, mont: bool = False) -> jax.Array:
     return jnp.broadcast_to(
         c.reshape((NUM_LIMBS,) + (1,) * len(shape)), (NUM_LIMBS,) + tuple(shape)
     )
-

@@ -136,11 +136,21 @@ def _ntt_core(x: jax.Array, tw: jax.Array, stages: int) -> jax.Array:
     return x
 
 
-def ntt(coeffs_mont: jax.Array) -> jax.Array:
-    """Coefficients -> evaluations on <omega_n>, natural order, Montgomery form.
+def _use_pallas(x: jax.Array) -> bool:
+    """True when the hand-tiled TPU kernels should take this transform."""
+    import os
 
-    Transforms the last axis; leading axes (after the limb axis) are batch.
-    """
+    if os.environ.get("STARK_ANATOMY_DISABLE_PALLAS"):
+        return False
+    if x.ndim != 2 or x.shape[-1] < 2048 or isinstance(x, jax.core.Tracer):
+        return False
+    from stark_anatomy_tpu.ops import field_pallas as fp
+
+    return fp._on_tpu()
+
+
+def ntt_jnp(coeffs_mont: jax.Array) -> jax.Array:
+    """Pure-jnp forward transform (any backend, any batch shape)."""
     n = coeffs_mont.shape[-1]
     if not _is_pow2(n):
         raise ValueError(f"NTT size must be a power of two, got {n}")
@@ -151,8 +161,8 @@ def ntt(coeffs_mont: jax.Array) -> jax.Array:
     return _ntt_core(x, jnp.asarray(_twiddles(n, inverse=False)), n.bit_length() - 1)
 
 
-def intt(evals_mont: jax.Array) -> jax.Array:
-    """Inverse NTT: evaluations on <omega_n> -> coefficients (batched)."""
+def intt_jnp(evals_mont: jax.Array) -> jax.Array:
+    """Pure-jnp inverse transform (any backend, any batch shape)."""
     n = evals_mont.shape[-1]
     if not _is_pow2(n):
         raise ValueError(f"NTT size must be a power of two, got {n}")
@@ -163,6 +173,29 @@ def intt(evals_mont: jax.Array) -> jax.Array:
     y = _ntt_core(x, jnp.asarray(_twiddles(n, inverse=True)), n.bit_length() - 1)
     n_inv_mont = fj.full((1,) * (y.ndim - 1), finv(n), mont=True)
     return fj.mont_mul(y, jnp.broadcast_to(n_inv_mont, y.shape))
+
+
+def ntt(coeffs_mont: jax.Array) -> jax.Array:
+    """Coefficients -> evaluations on <omega_n>, natural order, Montgomery form.
+
+    Transforms the last axis; leading axes (after the limb axis) are batch.
+    Dispatches to the Pallas TPU kernels (ops/ntt_pallas.py) for large 2-D
+    codewords on TPU; results are bit-identical either way.
+    """
+    if _use_pallas(coeffs_mont):
+        from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+        return ntp._ntt_pallas_impl(coeffs_mont, False, False)
+    return ntt_jnp(coeffs_mont)
+
+
+def intt(evals_mont: jax.Array) -> jax.Array:
+    """Inverse NTT: evaluations on <omega_n> -> coefficients (batched)."""
+    if _use_pallas(evals_mont):
+        from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+        return ntp._ntt_pallas_impl(evals_mont, True, False)
+    return intt_jnp(evals_mont)
 
 
 def coset_evaluate(coeffs_mont: jax.Array, domain_len: int, offset: int) -> jax.Array:

@@ -1,0 +1,234 @@
+"""Layout-aware Pallas NTT: the headline-metric kernel.
+
+The jnp NTT (ops/ntt.py) loses ~50x to sublane relayouts: every per-limb
+slice of an (8, n) array reshuffles tiles, and each stage's even/odd
+split relayouts again. This module keeps the limb axis MAJOR everywhere
+(free slicing) and expresses each butterfly stage as a Pallas kernel whose
+block shapes put whole (rows, 128) tiles on the VPU:
+
+- one bit-reversal gather up front (as in ops/ntt.py);
+- EARLY stages (pair distance h = m/2 <= 64, i.e. within a 128-lane row):
+  ONE fused kernel runs all of them back-to-back in VMEM. Pairs are
+  aligned with cyclic lane rolls; both butterfly outputs are computed
+  full-width and selected by a lane-parity mask (2x arithmetic on these
+  7 stages, zero relayouts, zero extra HBM trips);
+- LATE stages (h >= 128): the codeword viewed as
+  (8, n/m, 2, h/128, 128) makes `even`/`odd` index-able on MAJOR axes, so
+  each grid step reads two tile-aligned chunks, applies the fused
+  butterfly t = odd*tw; (even+t, even-t), and writes both halves of the
+  group in place — one kernel launch per stage, one HBM round trip;
+- the iNTT folds its 1/n scale into the early-stage kernel.
+
+Bit-exact vs ops/ntt.py (tests/test_ntt_pallas.py, interpret mode) — same
+twiddle tables, same Montgomery arithmetic (ops/field_pallas.py digit
+helpers). Falls back to ops/ntt.py off-TPU or for n < 2048.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stark_anatomy_tpu.ops import field_pallas as fp
+from stark_anatomy_tpu.ops import ntt as nttmod
+from stark_anatomy_tpu.ops.field import PRIME, finv
+from stark_anatomy_tpu.ops.limbs import NUM_LIMBS, int_to_limbs
+
+#: stages with pair distance <= _EARLY_H run fused in one kernel.
+_EARLY_H = 64
+_EARLY_STAGES = 7  # m = 2..128
+#: rows of 128 lanes per early-stage grid block (64KB VMEM per limb-set).
+_EARLY_ROWS = 64
+#: max (h/128) chunk rows per late-stage grid block.
+_LATE_ROWS = 64
+
+_STAGE_TABLES: dict = {}
+
+
+def _is_pow2(n: int) -> bool:
+    return n >= 1 and (n & (n - 1)) == 0
+
+
+def _stage_tables(n: int, inverse: bool):
+    """Per-stage twiddle tables from the cached master table (host numpy).
+
+    Returns (early: (8, 7, 128) array, late: dict stage -> (8, h/128, 128)).
+    Early-stage patterns are periodic with period m <= 128, so one 128-lane
+    row serves every row of every block.
+    """
+    key = (n, inverse)
+    if key in _STAGE_TABLES:
+        return _STAGE_TABLES[key]
+    master = np.asarray(nttmod._twiddles(n, inverse))  # (8, n//2): w^0..w^(n/2-1)
+    stages = n.bit_length() - 1
+    one = int_to_limbs((1 << 128) % PRIME).reshape(8, 1)
+    early = np.broadcast_to(one, (8, 128)).copy()
+    early = np.tile(early[:, None, :], (1, _EARLY_STAGES, 1)).copy()
+    late = {}
+    for s in range(1, stages + 1):
+        m = 1 << s
+        h = m // 2
+        stride = n // m
+        table = master[:, ::stride][:, :h]  # (8, h): w_m^0 .. w_m^(h-1)
+        if h <= _EARLY_H:
+            # lane pattern: lane l uses tw[l mod m - h] at odd slots; fill
+            # the whole 128-lane row with the periodic pattern.
+            lane = np.arange(128)
+            j = lane & (m - 1)
+            idx = np.where(j >= h, j - h, 0)
+            early[:, s - 1, :] = table[:, idx]
+        else:
+            late[s] = np.ascontiguousarray(table.reshape(8, h // 128, 128))
+    # Commit tables to the default device ONCE: passing host numpy into the
+    # jitted transform would re-transfer up to 64MB of twiddles per call.
+    early_dev = jax.device_put(jnp.asarray(early))
+    late_dev = {s: jax.device_put(jnp.asarray(t)) for s, t in late.items()}
+    _STAGE_TABLES[key] = (early_dev, late_dev)
+    return _STAGE_TABLES[key]
+
+
+def _early_kernel_factory(n: int, stages_here: int, inverse: bool, total_n: int):
+    scale_digits = None
+    if inverse:
+        n_inv_mont = finv(total_n) * (1 << 128) % PRIME
+        scale_digits = [np.uint32(d) for d in int_to_limbs(n_inv_mont)]
+
+    def kernel(x_ref, tw_ref, o_ref):
+        x = [x_ref[i, 0] for i in range(NUM_LIMBS)]  # (R, 128) tiles
+        rows = x[0].shape[0]
+        if scale_digits is not None:
+            const = [jnp.full_like(x[0], d) for d in scale_digits]
+            x = fp._mont_mul_digits(x, const)
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (rows, 128), 1)
+        for s in range(1, stages_here + 1):
+            m = 1 << s
+            h = m // 2
+            tw = [
+                jnp.broadcast_to(tw_ref[i, s - 1].reshape(1, 128), (rows, 128))
+                for i in range(NUM_LIMBS)
+            ]
+            t = fp._mont_mul_digits(x, tw)
+            t_shift = [pltpu.roll(d, 128 - h, 1) for d in t]  # cyclic -h
+            x_shift = [pltpu.roll(d, h, 1) for d in x]
+            sums = fp._add_digits(x, t_shift)
+            diffs = fp._sub_digits(x_shift, t)
+            is_odd = (lane & np.uint32(m - 1)) >= np.uint32(h)
+            x = [jnp.where(is_odd, diffs[i], sums[i]) for i in range(NUM_LIMBS)]
+        for i in range(NUM_LIMBS):
+            o_ref[i, 0] = x[i]
+
+    return kernel
+
+
+def _late_kernel(x_ref, tw_ref, o_ref):
+    even = [x_ref[i, 0, 0] for i in range(NUM_LIMBS)]  # (rc, 128)
+    odd = [x_ref[i, 0, 1] for i in range(NUM_LIMBS)]
+    tw = [tw_ref[i] for i in range(NUM_LIMBS)]
+    t = fp._mont_mul_digits(odd, tw)
+    sums = fp._add_digits(even, t)
+    diffs = fp._sub_digits(even, t)
+    for i in range(NUM_LIMBS):
+        o_ref[i, 0, 0] = sums[i]
+        o_ref[i, 0, 1] = diffs[i]
+
+
+def _run_early(x: jax.Array, early_tw: np.ndarray, stages_here: int, inverse: bool, n: int, interpret: bool):
+    rows = _EARLY_ROWS
+    while rows > 8 and n % (rows * 128):
+        rows //= 2
+    blocks = n // (rows * 128)
+    xb = x.reshape(NUM_LIMBS, blocks, rows, 128)
+    spec = pl.BlockSpec(
+        (NUM_LIMBS, 1, rows, 128), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tw_spec = pl.BlockSpec(
+        (NUM_LIMBS, _EARLY_STAGES, 128), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _early_kernel_factory(n, stages_here, inverse, n),
+        out_shape=jax.ShapeDtypeStruct(xb.shape, jnp.uint32),
+        grid=(blocks,),
+        in_specs=[spec, tw_spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(xb, jnp.asarray(early_tw))
+    return out.reshape(NUM_LIMBS, n)
+
+
+def _run_late_stage(x: jax.Array, table: np.ndarray, s: int, n: int, interpret: bool):
+    m = 1 << s
+    h = m // 2
+    hr = h // 128
+    rc = min(hr, _LATE_ROWS)
+    groups = n // m
+    chunks = hr // rc
+    xb = x.reshape(NUM_LIMBS, groups, 2, hr, 128)
+    spec = pl.BlockSpec(
+        (NUM_LIMBS, 1, 2, rc, 128),
+        lambda g, c: (0, g, 0, c, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tw_spec = pl.BlockSpec(
+        (NUM_LIMBS, rc, 128), lambda g, c: (0, c, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _late_kernel,
+        out_shape=jax.ShapeDtypeStruct(xb.shape, jnp.uint32),
+        grid=(groups, chunks),
+        in_specs=[spec, tw_spec],
+        out_specs=spec,
+        interpret=interpret,
+    )(xb, jnp.asarray(table))
+    return out.reshape(NUM_LIMBS, n)
+
+
+@partial(jax.jit, static_argnames=("inverse", "interpret"))
+def _ntt_pallas_jit(
+    x: jax.Array, early, late_tables, inverse: bool, interpret: bool
+) -> jax.Array:
+    n = x.shape[-1]
+    stages = n.bit_length() - 1
+    rev = jnp.asarray(nttmod.bit_reverse_indices(n))
+    x = jnp.take(x, rev, axis=-1)
+    stages_here = min(_EARLY_STAGES, stages)
+    x = _run_early(x, early, stages_here, inverse, n, interpret)
+    for s, table in zip(range(stages_here + 1, stages + 1), late_tables):
+        x = _run_late_stage(x, table, s, n, interpret)
+    return x
+
+
+def _ntt_pallas_impl(x: jax.Array, inverse: bool, interpret: bool) -> jax.Array:
+    # Tables are built EAGERLY (host numpy, cached) and passed as jit
+    # arguments — building them inside the trace would capture tracers
+    # (see ops/ntt.py _twiddles).
+    n = x.shape[-1]
+    stages = n.bit_length() - 1
+    early, late = _stage_tables(n, inverse)
+    stages_here = min(_EARLY_STAGES, stages)
+    late_tables = tuple(late[s] for s in range(stages_here + 1, stages + 1))
+    return _ntt_pallas_jit(x, early, late_tables, inverse, interpret)
+
+
+def ntt(x_mont: jax.Array, interpret: bool = False) -> jax.Array:
+    """Drop-in for ops/ntt.py ntt on (8, n) codewords (TPU fast path)."""
+    n = x_mont.shape[-1]
+    if not _is_pow2(n):
+        raise ValueError(f"NTT size must be a power of two, got {n}")
+    if (not interpret and not fp._on_tpu()) or n < 2048 or x_mont.ndim != 2:
+        return nttmod.ntt_jnp(x_mont)
+    return _ntt_pallas_impl(x_mont, False, interpret)
+
+
+def intt(x_mont: jax.Array, interpret: bool = False) -> jax.Array:
+    """Drop-in for ops/ntt.py intt (scale folded into the first kernel)."""
+    n = x_mont.shape[-1]
+    if not _is_pow2(n):
+        raise ValueError(f"NTT size must be a power of two, got {n}")
+    if (not interpret and not fp._on_tpu()) or n < 2048 or x_mont.ndim != 2:
+        return nttmod.intt_jnp(x_mont)
+    return _ntt_pallas_impl(x_mont, True, interpret)

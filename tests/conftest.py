@@ -23,10 +23,22 @@ if "xla_force_host_platform_device_count" not in flags:
 # Persistent compilation cache: the suite's cost is dominated by jit
 # compiles of tiny fixed-shape kernels; caching them across pytest runs
 # turns minutes of XLA time into milliseconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache_cpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402  (after XLA_FLAGS; see module docstring)
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU's in-process JIT segfaults sporadically in long sessions
+    with many live executables; dropping compiled caches between modules
+    avoids it. The on-disk compilation cache keeps recompiles cheap."""
+    yield
+    jax.clear_caches()
