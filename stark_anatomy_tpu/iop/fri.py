@@ -34,6 +34,7 @@ import numpy as np
 from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
 from stark_anatomy_tpu.iop.proof_stream import ProofStream
 from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import field_pallas as fp
 from stark_anatomy_tpu.ops import ntt as nttmod
 from stark_anatomy_tpu.ops.field import (
     PRIME,
@@ -67,7 +68,7 @@ def _const_mont(value: int, n: int) -> jnp.ndarray:
 def _inv_domain_mont(offset: int, omega: int, half: int) -> jnp.ndarray:
     """(8, half) table of d_i^{-1} = offset^{-1} * omega^{-i}, Montgomery."""
     tab = nttmod.powers(finv(omega), half)
-    return fj.mont_mul(tab, _const_mont(finv(offset), half))
+    return fp.mont_mul(tab, _const_mont(finv(offset), half))
 
 
 def fold(codeword_mont: jnp.ndarray, alpha: int, offset: int, omega: int) -> jnp.ndarray:
@@ -79,10 +80,10 @@ def fold(codeword_mont: jnp.ndarray, alpha: int, offset: int, omega: int) -> jnp
     n = codeword_mont.shape[-1]
     half = n // 2
     lo, hi = codeword_mont[:, :half], codeword_mont[:, half:]
-    au = fj.mont_mul(_const_mont(alpha, half), _inv_domain_mont(offset, omega, half))
+    au = fp.mont_mul(_const_mont(alpha, half), _inv_domain_mont(offset, omega, half))
     one = _const_mont(1, half)
-    t = fj.add(fj.mont_mul(fj.add(one, au), lo), fj.mont_mul(fj.sub(one, au), hi))
-    return fj.mont_mul(_const_mont(finv(2), half), t)
+    t = fp.add(fp.mont_mul(fp.add(one, au), lo), fp.mont_mul(fp.sub(one, au), hi))
+    return fp.mont_mul(_const_mont(finv(2), half), t)
 
 
 def colinearity_check(points: List[Tuple[int, int]]) -> bool:
@@ -151,16 +152,16 @@ class Fri:
         rounds = self.num_rounds
         omega, offset = self.omega, self.offset
 
-        codewords_host: List[np.ndarray] = []  # canonical LIMB arrays per round
+        codewords_dev: List = []  # canonical-form limb codewords, ON DEVICE
         trees: List[MerkleTree] = []
         codeword = codeword_mont
         for r in range(rounds):
-            standard = fj.from_mont(codeword)
+            standard = fp.from_mont(codeword)
             tree = MerkleTree.commit(hash_felt_leaves([standard]))
-            # Keep limbs on host; individual ints are extracted only at the
-            # handful of queried indices (a full-codeword Python-int
-            # conversion costs O(n) bigint ops per round at scale).
-            codewords_host.append(np.asarray(standard))
+            # Codewords stay on device; ints are extracted only at the
+            # handful of queried indices (full-codeword transfers +
+            # Python-int conversion cost O(n) per round at scale).
+            codewords_dev.append(standard)
             trees.append(tree)
             proof_stream.push({"fri_root": digest_to_item(tree.root)})
             if r == rounds - 1:
@@ -170,7 +171,7 @@ class Fri:
             omega = omega * omega % PRIME
             offset = offset * offset % PRIME
 
-        last_values = limbs_to_ints(codewords_host[-1])
+        last_values = limbs_to_ints(np.asarray(codewords_dev[-1]))
         proof_stream.push(
             {"fri_last_codeword": [felt_to_item(int(v)) for v in last_values]}
         )
@@ -187,7 +188,7 @@ class Fri:
             n = self.domain_length >> r
             indices = [i % (n // 2) for i in indices]
             self._query_round(
-                codewords_host[r], trees[r], codewords_host[r + 1], trees[r + 1],
+                codewords_dev[r], trees[r], codewords_dev[r + 1], trees[r + 1],
                 indices, proof_stream,
             )
         return top_indices
@@ -196,12 +197,19 @@ class Fri:
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
 
         half = current.shape[-1] // 2
+        # One batched device gather + transfer per codeword.
+        a_idx = list(indices)
+        b_idx = [i + half for i in indices]
+        cur_cols = np.asarray(jnp.take(current, jnp.asarray(a_idx + b_idx), axis=1))
+        nxt_cols = np.asarray(jnp.take(nxt, jnp.asarray(a_idx), axis=1))
+        current_tree._prefetch(a_idx + b_idx)
+        next_tree._prefetch(a_idx)
         points = []
         paths = []
-        for i in indices:
-            a = limbs_to_int(current[:, i])
-            b = limbs_to_int(current[:, i + half])
-            c = limbs_to_int(nxt[:, i])
+        for s, i in enumerate(indices):
+            a = limbs_to_int(cur_cols[:, s])
+            b = limbs_to_int(cur_cols[:, s + len(indices)])
+            c = limbs_to_int(nxt_cols[:, s])
             points.append([felt_to_item(a), felt_to_item(b), felt_to_item(c)])
             paths.append(
                 [
@@ -247,8 +255,8 @@ class Fri:
         last_offset = pow(offset, 1 << (rounds - 1), PRIME)
         coeffs = limbs_to_ints(
             np.asarray(
-                fj.from_mont(
-                    nttmod.coset_interpolate(fj.to_mont(jnp.asarray(last_limbs)), last_offset)
+                fp.from_mont(
+                    nttmod.coset_interpolate(fp.to_mont(jnp.asarray(last_limbs)), last_offset)
                 )
             )
         )

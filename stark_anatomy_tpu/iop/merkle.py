@@ -72,10 +72,17 @@ def hash_felt_leaves(columns: Sequence) -> jnp.ndarray:
 
 
 class MerkleTree:
-    """Committed Merkle tree; all levels stored, leaves at levels[0]."""
+    """Committed Merkle tree; all levels stored, leaves at levels[0].
 
-    def __init__(self, levels: List[np.ndarray]):
+    Levels built on device STAY on device (a 2^24-leaf tree's levels are
+    2GB of digests; transferring them eagerly would dominate commit time
+    over a remote-device link). Host access goes through `_fetch`, which
+    gathers the requested rows in one dispatch per level and caches them.
+    """
+
+    def __init__(self, levels: List):
         self.levels = levels
+        self._fetch_cache: dict = {}
 
     @classmethod
     def commit(cls, leaves) -> "MerkleTree":
@@ -88,10 +95,10 @@ class MerkleTree:
         n = int(leaves.shape[0])
         if not _is_pow2(n):
             raise ValueError("leaf count must be a power of two")
-        levels: List[np.ndarray] = []
+        levels: List = []
         current = leaves
         while int(current.shape[0]) > 2 * _DEVICE_MIN_BATCH:
-            levels.append(np.asarray(current))
+            levels.append(current)
             c = jnp.asarray(current).reshape(-1, 2, 16)
             current = merkle_node_hash(c[:, 0, :], c[:, 1, :])
         # Host tail: tiny levels, hashlib.
@@ -118,9 +125,37 @@ class MerkleTree:
     def num_leaves(self) -> int:
         return int(self.levels[0].shape[0])
 
+    def _fetch(self, level: int, index: int) -> bytes:
+        """Digest levels[level][index] as host bytes (batched-gather cache)."""
+        key = (level, index)
+        if key not in self._fetch_cache:
+            arr = self.levels[level]
+            if isinstance(arr, np.ndarray):
+                self._fetch_cache[key] = np.ascontiguousarray(
+                    arr[index], dtype="<u4"
+                ).tobytes()
+            else:
+                row = np.asarray(jnp.asarray(arr)[index]).astype("<u4")
+                self._fetch_cache[key] = row.tobytes()
+        return self._fetch_cache[key]
+
+    def _prefetch(self, leaf_indices: Sequence[int]) -> None:
+        """Gather every path row the given leaf opens need — one device
+        gather + one transfer per level instead of one per digest."""
+        for level, arr in enumerate(self.levels[:-1]):
+            if isinstance(arr, np.ndarray):
+                continue
+            need = sorted({(i >> level) ^ 1 for i in leaf_indices})
+            need = [i for i in need if (level, i) not in self._fetch_cache]
+            if not need:
+                continue
+            rows = np.asarray(jnp.asarray(arr)[jnp.asarray(need)]).astype("<u4")
+            for pos, i in enumerate(need):
+                self._fetch_cache[(level, i)] = rows[pos].tobytes()
+
     @property
     def root(self) -> bytes:
-        return self.levels[-1][0].astype("<u4").tobytes()
+        return np.ascontiguousarray(self.levels[-1][0], dtype="<u4").tobytes()
 
     def open(self, index: int) -> List[bytes]:
         """Authentication path, leaf-level first (merkle.rs:70-108 order).
@@ -133,10 +168,15 @@ class MerkleTree:
         if not 0 <= index < n:
             raise IndexError(f"leaf index {index} out of range for {n} leaves")
         path = []
-        for level in self.levels[:-1]:
-            path.append(level[index ^ 1].astype("<u4").tobytes())
+        for level in range(len(self.levels) - 1):
+            path.append(self._fetch(level, index ^ 1))
             index >>= 1
         return path
+
+    def open_many(self, indices: Sequence[int]) -> List[List[bytes]]:
+        """Paths for several leaves with batched device gathers."""
+        self._prefetch(list(indices))
+        return [self.open(i) for i in indices]
 
     def verify(self, leaf: bytes, path: Sequence[bytes], index: int) -> bool:
         return verify_path(self.root, leaf, path, index)

@@ -47,6 +47,7 @@ from stark_anatomy_tpu.iop.fri import Fri
 from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
 from stark_anatomy_tpu.iop.proof_stream import ProofStream, ProofStreamError
 from stark_anatomy_tpu.ops import field_jnp as fj
+from stark_anatomy_tpu.ops import field_pallas as fp
 from stark_anatomy_tpu.ops import ntt as nttmod
 from stark_anatomy_tpu.ops.field import (
     GENERATOR,
@@ -55,7 +56,13 @@ from stark_anatomy_tpu.ops.field import (
     primitive_root_of_unity,
     sample_field_element,
 )
-from stark_anatomy_tpu.ops.limbs import R_MOD_P, int_to_limbs, ints_to_limbs, limbs_to_ints
+from stark_anatomy_tpu.ops.limbs import (
+    R_MOD_P,
+    bytes_to_limbs,
+    int_to_limbs,
+    ints_to_limbs,
+    limbs_to_ints,
+)
 from stark_anatomy_tpu.utils.encoding import (
     digest_to_item,
     felt_to_item,
@@ -197,7 +204,7 @@ class Stark:
         if "x_cw" not in self._cache:
             f = self.fri_domain_length
             tab = nttmod.powers(self.omega, f)
-            self._cache["x_cw"] = fj.mont_mul(tab, _const_mont(self.offset, f))
+            self._cache["x_cw"] = fp.mont_mul(tab, _const_mont(self.offset, f))
         return self._cache["x_cw"]
 
     def _x_pow_codeword(self, s: int) -> jnp.ndarray:
@@ -206,24 +213,39 @@ class Stark:
         if key not in self._cache:
             f = self.fri_domain_length
             tab = nttmod.powers(pow(self.omega, s, PRIME), f)
-            self._cache[key] = fj.mont_mul(
+            self._cache[key] = fp.mont_mul(
                 tab, _const_mont(pow(self.offset, s, PRIME), f)
             )
         return self._cache[key]
 
     def column_lde(self, values: Sequence[int]) -> jnp.ndarray:
         """Omicron-domain column (len O) -> (8, F) Montgomery LDE codeword."""
+        return self.column_lde_limbs(ints_to_limbs(list(values)))
+
+    def column_lde_limbs(self, limbs) -> jnp.ndarray:
+        """(8, O) limb column (standard form) -> (8, F) Montgomery LDE.
+
+        The bulk path: callers convert via ops/limbs.py bytes_to_limbs
+        (vectorized) instead of per-element Python ints.
+        """
         o = self.omicron_domain_length
-        if len(values) != o:
-            raise ValueError(f"expected {o} rows, got {len(values)}")
-        cm = fj.to_mont(jnp.asarray(ints_to_limbs(list(values))))
+        if limbs.shape != (8, o):
+            raise ValueError(f"expected (8, {o}) limbs, got {limbs.shape}")
+        cm = fp.to_mont(jnp.asarray(limbs))
         coeffs = nttmod.intt(cm)
         return nttmod.coset_evaluate(coeffs, self.fri_domain_length, self.offset)
 
     def _constants_codewords(self) -> List[jnp.ndarray]:
         if "constants" not in self._cache:
-            cols = self.air.constant_columns(self.omicron_domain_length)
-            self._cache["constants"] = [self.column_lde(c) for c in cols]
+            o = self.omicron_domain_length
+            if hasattr(self.air, "constant_columns_bytes"):
+                cols = self.air.constant_columns_bytes(o)
+                self._cache["constants"] = [
+                    self.column_lde_limbs(bytes_to_limbs(c)) for c in cols
+                ]
+            else:
+                cols = self.air.constant_columns(o)
+                self._cache["constants"] = [self.column_lde(c) for c in cols]
         return self._cache["constants"]
 
     def _transition_zerofier_inv(self) -> jnp.ndarray:
@@ -239,10 +261,10 @@ class Stark:
             x = self._x_codeword()
             for r in range(self.trace_length - 1, o):
                 pt = _const_mont(pow(self.omicron, r, PRIME), f)
-                prod = fj.mont_mul(prod, fj.sub(x, pt))
+                prod = fp.mont_mul(prod, fp.sub(x, pt))
             xo = self._x_pow_codeword(o)
-            denom_inv = fj.inv(fj.sub(xo, _const_mont(1, f)))
-            self._cache["zt_inv"] = fj.mont_mul(prod, denom_inv)
+            denom_inv = fp.inv(fp.sub(xo, _const_mont(1, f)))
+            self._cache["zt_inv"] = fp.mont_mul(prod, denom_inv)
         return self._cache["zt_inv"]
 
     def _boundary_polys(self, boundary) -> List[dict]:
@@ -278,12 +300,12 @@ class Stark:
         f = self.fri_domain_length
         acc = _const_mont(bp["interpolant"][0], f)
         for d, c in enumerate(bp["interpolant"][1:], start=1):
-            acc = fj.add(acc, fj.mont_mul(_const_mont(c, f), self._x_pow_codeword(d)))
+            acc = fp.add(acc, fp.mont_mul(_const_mont(c, f), self._x_pow_codeword(d)))
         z = _const_mont(1, f)
         x = self._x_codeword()
         for r in bp["roots"]:
-            z = fj.mont_mul(z, fj.sub(x, _const_mont(r, f)))
-        return acc, fj.inv(z)
+            z = fp.mont_mul(z, fp.sub(x, _const_mont(r, f)))
+        return acc, fp.inv(z)
 
     # -- prover ------------------------------------------------------------
 
@@ -296,12 +318,17 @@ class Stark:
     ) -> bytes:
         """Prove that `trace` satisfies the AIR + boundary. Returns bytes.
 
-        trace: (T, w) array of ints (row t = registers at cycle t).
+        trace: (T, w) array of ints — or (T, w, 16) uint8 of canonical
+        little-endian encodings (the bulk path; see
+        native.rescue_chain_trace_bytes), which skips all per-element
+        Python-int work.
         boundary: (cycle, register, value) triples, public.
         randomizer_seed: entropy for the padding rows (fix it for
         reproducible proofs; supply fresh randomness for zero-knowledge).
         """
-        t_len, w = trace.shape
+        trace = np.asarray(trace) if not isinstance(trace, np.ndarray) else trace
+        as_bytes = trace.dtype == np.uint8 and trace.ndim == 3
+        t_len, w = trace.shape[:2]
         if t_len != self.trace_length or w != self.num_registers:
             raise ValueError("trace shape does not match the AIR")
         ps = proof_stream if proof_stream is not None else ProofStream()
@@ -310,32 +337,44 @@ class Stark:
         e = self.expansion_shift
 
         # 1. pad trace to the full omicron domain with pseudorandom rows.
-        rows = [[int(v) % PRIME for v in row] for row in trace]
-        for r in range(t_len, o):
-            rows.append(
-                [
-                    sample_field_element(
-                        _RANDOMIZER_TAG
-                        + randomizer_seed
-                        + r.to_bytes(8, "big")
-                        + j.to_bytes(4, "big")
-                    )
-                    for j in range(w)
-                ]
+        def _randomizer(r: int, j: int) -> int:
+            return sample_field_element(
+                _RANDOMIZER_TAG
+                + randomizer_seed
+                + r.to_bytes(8, "big")
+                + j.to_bytes(4, "big")
             )
 
         # 2-3. interpolate columns and LDE to the FRI coset.
-        t_lde = [self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)]
+        if as_bytes:
+            pad = np.empty((o - t_len, w, 16), dtype=np.uint8)
+            for r in range(t_len, o):
+                for j in range(w):
+                    pad[r - t_len, j] = np.frombuffer(
+                        _randomizer(r, j).to_bytes(16, "little"), np.uint8
+                    )
+            all_rows = np.concatenate([trace, pad], axis=0)  # (O, w, 16)
+            t_lde = [
+                self.column_lde_limbs(bytes_to_limbs(all_rows[:, j, :]))
+                for j in range(w)
+            ]
+        else:
+            rows = [[int(v) % PRIME for v in row] for row in trace]
+            for r in range(t_len, o):
+                rows.append([_randomizer(r, j) for j in range(w)])
+            t_lde = [
+                self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)
+            ]
 
         # 4. boundary quotients.
         bps = self._boundary_polys(boundary)
         bq = []
         for j in range(w):
             b_cw, zb_inv = self._boundary_codewords(bps[j])
-            bq.append(fj.mont_mul(fj.sub(t_lde[j], b_cw), zb_inv))
+            bq.append(fp.mont_mul(fp.sub(t_lde[j], b_cw), zb_inv))
 
         # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
-        bq_standard = [fj.from_mont(q) for q in bq]
+        bq_standard = [fp.from_mont(q) for q in bq]
         bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
         ps.push({"bq_root": digest_to_item(bq_tree.root)})
 
@@ -349,7 +388,7 @@ class Stark:
             t_lde, nxt, self._constants_codewords()
         )
         zt_inv = self._transition_zerofier_inv()
-        tq = [fj.mont_mul(c, zt_inv) for c in constraints]
+        tq = [fp.mont_mul(c, zt_inv) for c in constraints]
 
         # 9. combination codeword, every term lifted to degree_target.
         terms = list(tq) + list(bq)
@@ -362,13 +401,13 @@ class Stark:
             shift = self.degree_target - deg
             lift = _const_mont(alpha, f)
             if shift:
-                lift = fj.add(
+                lift = fp.add(
                     lift,
-                    fj.mont_mul(_const_mont(beta, f), self._x_pow_codeword(shift)),
+                    fp.mont_mul(_const_mont(beta, f), self._x_pow_codeword(shift)),
                 )
             else:
-                lift = fj.add(lift, _const_mont(beta, f))
-            comb = fj.add(comb, fj.mont_mul(lift, term))
+                lift = fp.add(lift, _const_mont(beta, f))
+            comb = fp.add(comb, fp.mont_mul(lift, term))
 
         # 10. FRI on the combination.
         top_indices = self.fri.prove(comb, ps)
@@ -379,19 +418,24 @@ class Stark:
             for base in (i, i + f // 2):
                 need.add(base % f)
                 need.add((base + e) % f)
+        need_list = sorted(need)
+        need_dev = jnp.asarray(need_list)
+        # One batched device gather per register (full-codeword transfers
+        # are prohibitive at scale over a remote-device link).
         bq_values = {
             idx: [int(v) for v in vals]
             for idx, vals in zip(
-                sorted(need),
+                need_list,
                 np.stack(
                     [
-                        limbs_to_ints(np.asarray(q)[:, sorted(need)])
+                        limbs_to_ints(np.asarray(jnp.take(q, need_dev, axis=1)))
                         for q in bq_standard
                     ],
                     axis=1,
                 ),
             )
         }
+        bq_tree._prefetch(need_list)
         ps.push(
             {
                 "bq_leaves": [
@@ -455,7 +499,7 @@ class Stark:
         const_cw = self._constants_codewords()
         const_at: Dict[int, List[int]] = {}
         gathered = [
-            limbs_to_ints(np.asarray(fj.from_mont(c[:, query_rows])))
+            limbs_to_ints(np.asarray(fp.from_mont(c[:, query_rows])))
             for c in const_cw
         ]
         for pos, idx in enumerate(query_rows):

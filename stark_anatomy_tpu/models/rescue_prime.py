@@ -138,6 +138,12 @@ class RescuePrime:
             return native.rescue_chain_trace(self, input_element, chain_length)
         return self._trace_py(input_element, chain_length)
 
+    def trace_bytes(self, input_element: int, chain_length: int = 1) -> np.ndarray:
+        """Trace as (rows, m, 16) uint8 canonical encodings (bulk path)."""
+        from stark_anatomy_tpu import native
+
+        return native.rescue_chain_trace_bytes(self, input_element, chain_length)
+
     def _trace_py(self, input_element: int, chain_length: int = 1) -> np.ndarray:
         state = [input_element % PRIME] + [0] * (self.m - 1)
         rows = [list(state)]
@@ -197,6 +203,31 @@ class RescuePrimeAir:
             for i in range(m):
                 cols[i][t] = c[2 * m * r + i]
                 cols[m + i][t] = c[2 * m * r + m + i]
+        return cols
+
+    def constant_columns_bytes(self, num_rows: int) -> List[np.ndarray]:
+        """constant_columns as (num_rows, 16) uint8 canonical encodings.
+
+        The columns are periodic with period N over the chain, so they are
+        built by tiling N pre-encoded rows — no per-row Python-int work
+        (matters at 2^20 rows; values identical to constant_columns).
+        """
+        m, n_r = self.rp.m, self.rp.N
+        c = self.rp.round_constants
+        t_len = self.cycle_count
+        cols = []
+        for k in range(2 * m):
+            if k < m:
+                period = [c[2 * m * r + k] for r in range(n_r)]
+            else:
+                period = [c[2 * m * r + m + (k - m)] for r in range(n_r)]
+            enc = np.stack(
+                [np.frombuffer(v.to_bytes(16, "little"), np.uint8) for v in period]
+            )
+            reps = -(-(t_len - 1) // n_r)
+            out = np.zeros((num_rows, 16), dtype=np.uint8)
+            out[: t_len - 1] = np.tile(enc, (reps, 1))[: t_len - 1]
+            cols.append(out)
         return cols
 
     def boundary_constraints(self, output_element: int) -> List[tuple]:

@@ -151,11 +151,23 @@ def powers(base: int, count: int) -> List[int]:
     return _dec(out)
 
 
-def rescue_chain_trace(rp, input_element: int, chain_length: int) -> np.ndarray:
-    """Native trace generation; falls back to rp.trace (same rows)."""
+def rescue_chain_trace_bytes(rp, input_element: int, chain_length: int) -> np.ndarray:
+    """Native trace as (rows, m, 16) uint8 canonical encodings.
+
+    The bytes stay bytes — at 2^20 rows, decoding to Python ints costs
+    seconds; the prover's bulk path (iop/stark.py) consumes these directly
+    via ops/limbs.py bytes_to_limbs.
+    """
     lib = _load()
     if lib is None or rp.m != 2:
-        return rp._trace_py(input_element, chain_length)
+        from stark_anatomy_tpu.utils.encoding import felt_to_bytes
+
+        rows = rp._trace_py(input_element, chain_length)
+        out = np.empty((rows.shape[0], rp.m, 16), dtype=np.uint8)
+        for t in range(rows.shape[0]):
+            for j in range(rp.m):
+                out[t, j] = np.frombuffer(felt_to_bytes(int(rows[t][j])), np.uint8)
+        return out
     mds = _enc([rp.mds[i][j] for i in range(2) for j in range(2)])
     consts = _enc(rp.round_constants)
     ainv = _enc([rp.alpha_inv])
@@ -165,5 +177,14 @@ def rescue_chain_trace(rp, input_element: int, chain_length: int) -> np.ndarray:
     lib.rescue_chain_trace(
         _ptr(inp), chain_length, rp.N, _ptr(mds), _ptr(consts), _ptr(ainv), _ptr(out)
     )
-    values = _dec(out)
-    return np.array(values, dtype=object).reshape(rows, rp.m)
+    return out.reshape(rows, rp.m, 16)
+
+
+def rescue_chain_trace(rp, input_element: int, chain_length: int) -> np.ndarray:
+    """Native trace generation; falls back to rp._trace_py (same rows)."""
+    lib = _load()
+    if lib is None or rp.m != 2:
+        return rp._trace_py(input_element, chain_length)
+    out = rescue_chain_trace_bytes(rp, input_element, chain_length)
+    values = _dec(out.reshape(-1, 16))
+    return np.array(values, dtype=object).reshape(-1, rp.m)

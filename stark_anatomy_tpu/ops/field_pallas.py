@@ -260,3 +260,68 @@ def butterfly(
     return _elementwise_call(
         _butterfly_kernel, 2, _pick_rows(even.shape[-1]), interpret, even, odd, tw
     )
+
+
+@partial(jax.jit, static_argnames=("exponent", "interpret"))
+def pow_const(a: jax.Array, exponent: int, interpret: bool = False) -> jax.Array:
+    """a^exponent on Montgomery-form inputs via a kernel-bodied scan.
+
+    The jnp ladder (ops/field_jnp.py pow_const) spends ~250 full-tensor
+    mont_muls; running each step through the tiled kernel makes the Fermat
+    inverse ~20x faster on TPU. Fallback preserves fj semantics exactly.
+    """
+    if exponent < 0:
+        raise ValueError("negative exponents unsupported")
+    if not interpret and (not _on_tpu() or a.shape[-1] % 1024 or a.ndim != 2):
+        return fj.pow_const(a, exponent, a_is_mont=True)
+    from stark_anatomy_tpu.ops.limbs import R_MOD_P, int_to_limbs
+
+    one_m = jnp.broadcast_to(
+        jnp.asarray(int_to_limbs(R_MOD_P), dtype=jnp.uint32).reshape(8, 1), a.shape
+    ).astype(jnp.uint32)
+    if exponent == 0:
+        return one_m
+    rows = _pick_rows(a.shape[-1])
+    nbits = exponent.bit_length()
+    bits = jnp.asarray([(exponent >> i) & 1 for i in range(nbits)], dtype=jnp.bool_)
+
+    def step(carry, bit):
+        result, base = carry
+        prod = _elementwise_call(_mont_mul_kernel, 1, rows, interpret, result, base)
+        result = jnp.where(bit, prod, result)
+        base = _elementwise_call(_mont_mul_kernel, 1, rows, interpret, base, base)
+        return (result, base), None
+
+    (result, _), _ = jax.lax.scan(step, (one_m, a), bits)
+    return result
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def inv(a: jax.Array, interpret: bool = False) -> jax.Array:
+    """Batched Fermat inverse a^(p-2), Montgomery form; 0 maps to 0."""
+    from stark_anatomy_tpu.ops.field import PRIME
+
+    return pow_const(a, PRIME - 2, interpret=interpret)
+
+
+def _const_like(value: int, a: jax.Array) -> jax.Array:
+    from stark_anatomy_tpu.ops.limbs import int_to_limbs
+
+    c = jnp.asarray(int_to_limbs(value), dtype=jnp.uint32)
+    return jnp.broadcast_to(c.reshape((8,) + (1,) * (a.ndim - 1)), a.shape)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def to_mont(a: jax.Array, interpret: bool = False) -> jax.Array:
+    from stark_anatomy_tpu.ops.limbs import R2_MOD_P
+
+    if not interpret and (not _on_tpu() or a.shape[-1] % 1024 or a.ndim != 2):
+        return fj.to_mont(a)
+    return mont_mul(a, _const_like(R2_MOD_P, a), interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def from_mont(a: jax.Array, interpret: bool = False) -> jax.Array:
+    if not interpret and (not _on_tpu() or a.shape[-1] % 1024 or a.ndim != 2):
+        return fj.from_mont(a)
+    return mont_mul(a, _const_like(1, a), interpret=interpret)

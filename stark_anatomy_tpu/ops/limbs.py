@@ -97,3 +97,25 @@ def random_felt_limbs(rng: np.random.Generator, shape: tuple[int, ...]) -> np.nd
     # ~2^-112 by excluding top == 52096 (the boundary slice) entirely.
     out[NUM_LIMBS - 1] = rng.integers(0, P_TOP_DIGIT, size=shape, dtype=np.uint32)
     return out
+
+
+def bytes_to_limbs(data: np.ndarray) -> np.ndarray:
+    """(n, 16) uint8 canonical little-endian encodings -> (8, n) uint32.
+
+    Pure vectorized numpy — the fast path for bulk host<->device crossings
+    (Python-int conversion costs ~1us/element; this is ~1ns/element).
+    """
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    if data.ndim != 2 or data.shape[1] != 16:
+        raise ValueError("expected (n, 16) byte rows")
+    u16 = data.view("<u2")  # (n, 8) 16-bit digits, little-endian
+    return np.ascontiguousarray(u16.T).astype(np.uint32)
+
+
+def limbs_to_bytes(limbs: np.ndarray) -> np.ndarray:
+    """(8, n) uint32 limb array -> (n, 16) uint8 canonical encodings."""
+    limbs = np.asarray(limbs)
+    if limbs.shape[0] != NUM_LIMBS:
+        raise ValueError(f"expected limb axis of size {NUM_LIMBS} first")
+    u16 = np.ascontiguousarray(limbs.T.astype("<u2"))  # (n, 8)
+    return u16.view(np.uint8).reshape(-1, 16)

@@ -56,3 +56,15 @@ def test_fallback_path_off_tpu(data):
     np.testing.assert_array_equal(
         np.asarray(fp.mont_mul(a, b)), np.asarray(fj.mont_mul(a, b))
     )
+
+
+def test_pow_and_inv_match(data):
+    import jax.numpy as jnp
+
+    a, b = data
+    np.testing.assert_array_equal(
+        np.asarray(fp.pow_const(a, 12345, interpret=True)),
+        np.asarray(fj.pow_const(a, 12345)),
+    )
+    got = fp.inv(a, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(fj.inv(a)))

@@ -79,3 +79,25 @@ def test_default_config_shape():
     stark = default_config(chain_length=1, num_colinearity_checks=2)
     assert stark.num_registers == 2
     assert stark.trace_length == 28
+
+
+def test_bytes_trace_path_identical_proof():
+    # The (T, w, 16) uint8 bulk path must produce byte-identical proofs
+    # to the Python-int path, and constant_columns_bytes must encode the
+    # same columns as constant_columns.
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    inp = 777
+    boundary = air.boundary_constraints(rp.hash(inp))
+    p1 = stark.prove(rp.trace(inp), boundary)
+    stark2 = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    p2 = stark2.prove(rp.trace_bytes(inp), boundary)
+    assert p1 == p2
+    assert stark.verify(p2, boundary)
+    # constants encodings agree
+    cols_i = air.constant_columns(stark.omicron_domain_length)
+    cols_b = air.constant_columns_bytes(stark.omicron_domain_length)
+    for ci, cb in zip(cols_i, cols_b):
+        for row, v in enumerate(ci):
+            assert cb[row].tobytes() == int(v).to_bytes(16, "little")
