@@ -63,6 +63,7 @@ from stark_anatomy_tpu.ops.limbs import (
     ints_to_limbs,
     limbs_to_ints,
 )
+from stark_anatomy_tpu.utils.telemetry import phase
 from stark_anatomy_tpu.utils.encoding import (
     digest_to_item,
     felt_to_item,
@@ -309,12 +310,23 @@ class Stark:
 
     # -- prover ------------------------------------------------------------
 
+    def _checkpoint_meta(self, boundary) -> dict:
+        return {
+            "T": self.trace_length,
+            "w": self.num_registers,
+            "O": self.omicron_domain_length,
+            "F": self.fri_domain_length,
+            "checks": self.num_colinearity_checks,
+            "boundary": [[int(c), int(r), str(v)] for (c, r, v) in boundary],
+        }
+
     def prove(
         self,
         trace: np.ndarray,
         boundary: List[Tuple[int, int, int]],
         proof_stream: ProofStream | None = None,
         randomizer_seed: bytes = b"",
+        checkpoint_dir: str | None = None,
     ) -> bytes:
         """Prove that `trace` satisfies the AIR + boundary. Returns bytes.
 
@@ -325,7 +337,28 @@ class Stark:
         boundary: (cycle, register, value) triples, public.
         randomizer_seed: entropy for the padding rows (fix it for
         reproducible proofs; supply fresh randomness for zero-knowledge).
+        checkpoint_dir: when set, the prover persists a phase checkpoint
+        before FRI and resumes from it after a crash/restart
+        (utils/checkpoint.py).
         """
+        if checkpoint_dir is not None:
+            from stark_anatomy_tpu.utils import checkpoint as ckpt
+
+            loaded = ckpt.load(
+                checkpoint_dir, ckpt.STAGE_PRE_FRI, self._checkpoint_meta(boundary)
+            )
+            if loaded is not None:
+                ps = ProofStream(loaded["items"])
+                comb = jnp.asarray(loaded["arrays"]["comb"])
+                bq_standard = [
+                    jnp.asarray(loaded["arrays"][f"bq{j}"])
+                    for j in range(self.num_registers)
+                ]
+                bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
+                return self._fri_and_open(
+                    ps, comb, bq_standard, bq_tree,
+                    self.fri_domain_length, self.expansion_shift,
+                )
         trace = np.asarray(trace) if not isinstance(trace, np.ndarray) else trace
         as_bytes = trace.dtype == np.uint8 and trace.ndim == 3
         t_len, w = trace.shape[:2]
@@ -346,6 +379,29 @@ class Stark:
             )
 
         # 2-3. interpolate columns and LDE to the FRI coset.
+        with phase("prove.trace-lde"):
+            t_lde = self._trace_lde(trace, as_bytes, o, w, _randomizer)
+
+        # 4. boundary quotients.
+        bps = self._boundary_polys(boundary)
+        with phase("prove.boundary-quotients"):
+            bq = []
+            for j in range(w):
+                b_cw, zb_inv = self._boundary_codewords(bps[j])
+                bq.append(fp.mont_mul(fp.sub(t_lde[j], b_cw), zb_inv))
+
+        # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
+        with phase("prove.bq-commit"):
+            bq_standard = [fp.from_mont(q) for q in bq]
+            bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
+        ps.push({"bq_root": digest_to_item(bq_tree.root)})
+        return self._prove_rest(
+            ps, boundary, bps, t_lde, bq, bq_standard, bq_tree, o, f, e, w,
+            checkpoint_dir,
+        )
+
+    def _trace_lde(self, trace, as_bytes, o, w, _randomizer):
+        t_len = trace.shape[0]
         if as_bytes:
             pad = np.empty((o - t_len, w, 16), dtype=np.uint8)
             for r in range(t_len, o):
@@ -354,63 +410,82 @@ class Stark:
                         _randomizer(r, j).to_bytes(16, "little"), np.uint8
                     )
             all_rows = np.concatenate([trace, pad], axis=0)  # (O, w, 16)
-            t_lde = [
+            return [
                 self.column_lde_limbs(bytes_to_limbs(all_rows[:, j, :]))
                 for j in range(w)
             ]
-        else:
-            rows = [[int(v) % PRIME for v in row] for row in trace]
-            for r in range(t_len, o):
-                rows.append([_randomizer(r, j) for j in range(w)])
-            t_lde = [
-                self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)
-            ]
+        rows = [[int(v) % PRIME for v in row] for row in trace]
+        for r in range(t_len, o):
+            rows.append([_randomizer(r, j) for j in range(w)])
+        return [self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)]
 
-        # 4. boundary quotients.
-        bps = self._boundary_polys(boundary)
-        bq = []
-        for j in range(w):
-            b_cw, zb_inv = self._boundary_codewords(bps[j])
-            bq.append(fp.mont_mul(fp.sub(t_lde[j], b_cw), zb_inv))
-
-        # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
-        bq_standard = [fp.from_mont(q) for q in bq]
-        bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
-        ps.push({"bq_root": digest_to_item(bq_tree.root)})
-
+    def _prove_rest(
+        self, ps, boundary, bps, t_lde, bq, bq_standard, bq_tree, o, f, e, w,
+        checkpoint_dir=None,
+    ):
         # 6. combination weights from the transcript.
         n_terms = self.air.num_constraints + w
         weights = sample_weights(ps.prover_fiat_shamir(), 2 * n_terms)
 
-        # 7-8. transition constraint codewords and quotients.
-        nxt = [jnp.roll(t, -e, axis=1) for t in t_lde]
-        constraints = self.air.eval_transition_device(
-            t_lde, nxt, self._constants_codewords()
-        )
-        zt_inv = self._transition_zerofier_inv()
-        tq = [fp.mont_mul(c, zt_inv) for c in constraints]
+        # 7-8. transition constraint codewords and quotients. Dead
+        # intermediates are dropped eagerly: at F = 2^24 every codeword is
+        # 512MB of HBM and the pipeline must fit ~a dozen of them.
+        with phase("prove.transition-quotients"):
+            nxt = [jnp.roll(t, -e, axis=1) for t in t_lde]
+            constraints = list(
+                self.air.eval_transition_device(
+                    t_lde, nxt, self._constants_codewords()
+                )
+            )
+            del nxt
+            t_lde.clear()
+            zt_inv = self._transition_zerofier_inv()
+            tq = []
+            while constraints:
+                tq.append(fp.mont_mul(constraints.pop(0), zt_inv))
+            del zt_inv
 
         # 9. combination codeword, every term lifted to degree_target.
-        terms = list(tq) + list(bq)
-        degrees = [self.transition_quotient_degree] * len(tq) + [
-            o - 1 - len(bps[j]["roots"]) for j in range(w)
-        ]
-        comb = fj.zeros((f,))
-        for t_idx, (term, deg) in enumerate(zip(terms, degrees)):
-            alpha, beta = weights[2 * t_idx], weights[2 * t_idx + 1]
-            shift = self.degree_target - deg
-            lift = _const_mont(alpha, f)
-            if shift:
-                lift = fp.add(
-                    lift,
-                    fp.mont_mul(_const_mont(beta, f), self._x_pow_codeword(shift)),
-                )
-            else:
-                lift = fp.add(lift, _const_mont(beta, f))
-            comb = fp.add(comb, fp.mont_mul(lift, term))
+        with phase("prove.combination"):
+            terms = list(tq) + list(bq)
+            del tq
+            bq.clear()
+            degrees = [self.transition_quotient_degree] * self.air.num_constraints + [
+                o - 1 - len(bps[j]["roots"]) for j in range(w)
+            ]
+            comb = fj.zeros((f,))
+            for t_idx, deg in enumerate(degrees):
+                term, terms[t_idx] = terms[t_idx], None
+                alpha, beta = weights[2 * t_idx], weights[2 * t_idx + 1]
+                shift = self.degree_target - deg
+                lift = _const_mont(alpha, f)
+                if shift:
+                    lift = fp.add(
+                        lift,
+                        fp.mont_mul(_const_mont(beta, f), self._x_pow_codeword(shift)),
+                    )
+                else:
+                    lift = fp.add(lift, _const_mont(beta, f))
+                comb = fp.add(comb, fp.mont_mul(lift, term))
+                del term
 
+        if checkpoint_dir is not None:
+            from stark_anatomy_tpu.utils import checkpoint as ckpt
+
+            with phase("prove.checkpoint"):
+                arrays = {"comb": np.asarray(comb)}
+                for j in range(w):
+                    arrays[f"bq{j}"] = np.asarray(bq_standard[j])
+                ckpt.save(
+                    checkpoint_dir, ckpt.STAGE_PRE_FRI, list(ps.items), arrays,
+                    self._checkpoint_meta(boundary),
+                )
+        return self._fri_and_open(ps, comb, bq_standard, bq_tree, f, e)
+
+    def _fri_and_open(self, ps, comb, bq_standard, bq_tree, f, e):
         # 10. FRI on the combination.
-        top_indices = self.fri.prove(comb, ps)
+        with phase("prove.fri"):
+            top_indices = self.fri.prove(comb, ps)
 
         # 11. open the boundary-quotient rows the verifier will need.
         need = set()

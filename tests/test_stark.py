@@ -101,3 +101,29 @@ def test_bytes_trace_path_identical_proof():
     for ci, cb in zip(cols_i, cols_b):
         for row, v in enumerate(ci):
             assert cb[row].tobytes() == int(v).to_bytes(16, "little")
+
+
+def test_checkpoint_resume(tmp_path):
+    # A checkpointed prove writes a pre-FRI snapshot; a fresh Stark with
+    # only the checkpoint produces the identical proof without the trace.
+    from stark_anatomy_tpu.utils import telemetry
+
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    inp = 31337
+    boundary = air.boundary_constraints(rp.hash(inp))
+    trace = rp.trace(inp)
+    p1 = stark.prove(trace, boundary, checkpoint_dir=str(tmp_path))
+    telemetry.reset()
+    stark2 = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    p2 = stark2.prove(trace, boundary, checkpoint_dir=str(tmp_path))
+    assert p2 == p1
+    # The resumed run must have skipped the pre-FRI phases entirely.
+    phases = telemetry.report()
+    assert "prove.fri" in phases
+    assert "prove.trace-lde" not in phases
+    # A mismatched boundary must NOT resume from the stale checkpoint.
+    other_boundary = air.boundary_constraints((rp.hash(inp) + 1) % PRIME)
+    p3 = stark2.prove(rp.trace(inp), other_boundary, checkpoint_dir=str(tmp_path))
+    assert not stark2.verify(p3, boundary)
