@@ -38,7 +38,6 @@ _ESTABLISHED: float | None = 6.137e8
 
 
 def main() -> None:
-    import jax
     import numpy as np
     import jax.numpy as jnp
 

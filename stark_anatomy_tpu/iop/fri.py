@@ -33,7 +33,6 @@ import numpy as np
 
 from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
 from stark_anatomy_tpu.iop.proof_stream import ProofStream
-from stark_anatomy_tpu.ops import field_jnp as fj
 from stark_anatomy_tpu.ops import field_pallas as fp
 from stark_anatomy_tpu.ops import ntt as nttmod
 from stark_anatomy_tpu.ops.field import (

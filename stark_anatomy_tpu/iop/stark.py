@@ -37,7 +37,6 @@ combination-value equality check at every queried index.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
-from functools import lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -163,9 +162,10 @@ class Stark:
 
     @property
     def max_degree(self) -> int:
-        # Boundary quotient degrees are < O-1 <= tq degree for any
-        # constraint_degree >= 2, so the transition quotients dominate.
-        return self.transition_quotient_degree
+        # Transition quotients dominate for constraint_degree >= 2; for
+        # linear AIRs (e.g. Fibonacci) a boundary quotient of degree up to
+        # O-2 can be the largest term.
+        return max(self.transition_quotient_degree, self.omicron_domain_length - 2)
 
     @property
     def fri_domain_length(self) -> int:
@@ -393,10 +393,13 @@ class Stark:
         # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
         with phase("prove.bq-commit"):
             bq_standard = [fp.from_mont(q) for q in bq]
+            # Free the Montgomery forms: the combination step rebuilds them
+            # with one multiply each, and 512MB per codeword matters here.
+            bq.clear()
             bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
         ps.push({"bq_root": digest_to_item(bq_tree.root)})
         return self._prove_rest(
-            ps, boundary, bps, t_lde, bq, bq_standard, bq_tree, o, f, e, w,
+            ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
             checkpoint_dir,
         )
 
@@ -420,7 +423,7 @@ class Stark:
         return [self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)]
 
     def _prove_rest(
-        self, ps, boundary, bps, t_lde, bq, bq_standard, bq_tree, o, f, e, w,
+        self, ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
         checkpoint_dir=None,
     ):
         # 6. combination weights from the transcript.
@@ -447,15 +450,17 @@ class Stark:
 
         # 9. combination codeword, every term lifted to degree_target.
         with phase("prove.combination"):
-            terms = list(tq) + list(bq)
+            # bq Montgomery forms were freed at commit; rebuild lazily.
+            terms = list(tq) + [("bq", j) for j in range(w)]
             del tq
-            bq.clear()
             degrees = [self.transition_quotient_degree] * self.air.num_constraints + [
                 o - 1 - len(bps[j]["roots"]) for j in range(w)
             ]
             comb = fj.zeros((f,))
             for t_idx, deg in enumerate(degrees):
                 term, terms[t_idx] = terms[t_idx], None
+                if isinstance(term, tuple):
+                    term = fp.to_mont(bq_standard[term[1]])
                 alpha, beta = weights[2 * t_idx], weights[2 * t_idx + 1]
                 shift = self.degree_target - deg
                 lift = _const_mont(alpha, f)

@@ -251,6 +251,8 @@ class RescuePrimeAir:
         form (the constant_columns LDE'd by the STARK layer). Returns m
         constraint codewords, Montgomery form.
         """
+        from stark_anatomy_tpu.ops import field_pallas as fp
+
         m = self.rp.m
         mds = self.rp.mds
         mds_inv = self.rp.mds_inv
@@ -262,26 +264,28 @@ class RescuePrimeAir:
             c = jnp.asarray(
                 int_to_limbs(value * R_MOD_P % PRIME), dtype=jnp.uint32
             ).reshape(8, 1)
-            return fj.mont_mul(jnp.broadcast_to(c, (8, n)), arr)
+            return fp.mont_mul(jnp.broadcast_to(c, (8, n)), arr)
 
         def cube(arr):
-            return fj.mont_mul(fj.mont_mul(arr, arr), arr)
+            return fp.mont_mul(fp.mont_mul(arr, arr), arr)
 
         cur_cubed = [cube(c) for c in cur]
         lhs = []
         for i in range(m):
             acc = cmul(mds[i][0], cur_cubed[0])
             for j in range(1, m):
-                acc = fj.add(acc, cmul(mds[i][j], cur_cubed[j]))
-            lhs.append(fj.add(acc, constants[i]))
-        shifted = [fj.sub(nxt[j], constants[m + j]) for j in range(m)]
+                acc = fp.add(acc, cmul(mds[i][j], cur_cubed[j]))
+            lhs.append(fp.add(acc, constants[i]))
+        del cur_cubed
+        shifted = [fp.sub(nxt[j], constants[m + j]) for j in range(m)]
         rhs_lin = []
         for i in range(m):
             acc = cmul(mds_inv[i][0], shifted[0])
             for j in range(1, m):
-                acc = fj.add(acc, cmul(mds_inv[i][j], shifted[j]))
+                acc = fp.add(acc, cmul(mds_inv[i][j], shifted[j]))
             rhs_lin.append(acc)
-        return [fj.sub(lhs[i], cube(rhs_lin[i])) for i in range(m)]
+        del shifted
+        return [fp.sub(lhs[i], cube(rhs_lin[i])) for i in range(m)]
 
     def eval_transition_host(
         self,

@@ -17,7 +17,6 @@ from functools import partial
 from typing import List, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -38,8 +38,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stark_anatomy_tpu.ops import field_jnp as fj
 from stark_anatomy_tpu.ops import ntt as nttmod
-from stark_anatomy_tpu.ops.field import PRIME, finv, primitive_root_of_unity
-from stark_anatomy_tpu.ops.limbs import NUM_LIMBS, int_to_limbs
+from stark_anatomy_tpu.ops.field import finv, primitive_root_of_unity
+from stark_anatomy_tpu.ops.limbs import NUM_LIMBS
 from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS
 
 _shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
