@@ -61,14 +61,28 @@ def limbs_to_leaf_words(columns: Sequence) -> jnp.ndarray:
     return jnp.stack(words, axis=1)
 
 
+_HASH_CHUNK = 1 << 21  # leaves per dispatch: bounds Blake2b transients to ~1GB
+
+
 def hash_felt_leaves(columns: Sequence) -> jnp.ndarray:
     """Leaf digests for rows of field elements: (n, 16) uint32.
 
     Leaf i = Blake2b-512(le16(col0[i]) || le16(col1[i]) || ...) — the
     framework's canonical leaf encoding (utils/encoding.py:hash_felts).
+    Large batches are hashed in chunks: the compressor's word planes and
+    state temporaries are ~5x the message size, which at 2^24 leaves
+    would exhaust HBM in one dispatch.
     """
-    msg = limbs_to_leaf_words(columns)
-    return blake2b_u32(msg, msg_len=16 * len(columns))
+    n = int(columns[0].shape[-1])
+    if n <= _HASH_CHUNK:
+        msg = limbs_to_leaf_words(columns)
+        return blake2b_u32(msg, msg_len=16 * len(columns))
+    out = []
+    for start in range(0, n, _HASH_CHUNK):
+        chunk = [c[:, start : start + _HASH_CHUNK] for c in columns]
+        msg = limbs_to_leaf_words(chunk)
+        out.append(blake2b_u32(msg, msg_len=16 * len(columns)))
+    return jnp.concatenate(out, axis=0)
 
 
 class MerkleTree:
@@ -100,7 +114,19 @@ class MerkleTree:
         while int(current.shape[0]) > 2 * _DEVICE_MIN_BATCH:
             levels.append(current)
             c = jnp.asarray(current).reshape(-1, 2, 16)
-            current = merkle_node_hash(c[:, 0, :], c[:, 1, :])
+            pairs = c.shape[0]
+            if pairs <= _HASH_CHUNK:
+                current = merkle_node_hash(c[:, 0, :], c[:, 1, :])
+            else:
+                current = jnp.concatenate(
+                    [
+                        merkle_node_hash(
+                            c[s : s + _HASH_CHUNK, 0, :], c[s : s + _HASH_CHUNK, 1, :]
+                        )
+                        for s in range(0, pairs, _HASH_CHUNK)
+                    ],
+                    axis=0,
+                )
         # Host tail: tiny levels, hashlib.
         cur = np.asarray(current, dtype="<u4")
         while cur.shape[0] > 1:

@@ -485,6 +485,9 @@ class Stark:
                     checkpoint_dir, ckpt.STAGE_PRE_FRI, list(ps.items), arrays,
                     self._checkpoint_meta(boundary),
                 )
+        # The x-power/constants/zerofier caches (several 512MB codewords at
+        # F = 2^24) are dead weight during FRI — release the HBM.
+        self._cache.clear()
         return self._fri_and_open(ps, comb, bq_standard, bq_tree, f, e)
 
     def _fri_and_open(self, ps, comb, bq_standard, bq_tree, f, e):

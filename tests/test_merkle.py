@@ -117,3 +117,22 @@ def test_felt_leaf_hashing_matches_host_encoding():
     tree = MerkleTree.commit(device)
     expected_leaves = [hash_felts([cols[k][i] for k in range(3)]) for i in range(n)]
     assert tree.root == _oracle_root(expected_leaves)
+
+
+def test_chunked_hashing_matches(monkeypatch):
+    # Force the chunked path with a tiny chunk size; results must be
+    # identical to the single-dispatch path.
+    import stark_anatomy_tpu.iop.merkle as merkle_mod
+
+    rng = np.random.default_rng(11)
+    vals = [int(x) for x in rng.integers(0, 1 << 62, size=64)]
+    cols = [ints_to_limbs(vals)]
+    import jax.numpy as jnp
+
+    full = np.asarray(merkle_mod.hash_felt_leaves([jnp.asarray(c) for c in cols]))
+    tree_full = MerkleTree.commit(full)
+    monkeypatch.setattr(merkle_mod, "_HASH_CHUNK", 16)
+    chunked = np.asarray(merkle_mod.hash_felt_leaves([jnp.asarray(c) for c in cols]))
+    np.testing.assert_array_equal(chunked, full)
+    tree_chunked = merkle_mod.MerkleTree.commit(chunked)
+    assert tree_chunked.root == tree_full.root
