@@ -85,6 +85,18 @@ def fold(codeword_mont: jnp.ndarray, alpha: int, offset: int, omega: int) -> jnp
     return fp.mont_mul(_const_mont(finv(2), half), t)
 
 
+def gather_columns(arr, idx_list: List[int]) -> np.ndarray:
+    """(8, n) limb array (host or device) -> (8, k) host columns.
+
+    Host arrays use numpy fancy indexing directly; device arrays do one
+    batched on-device gather + one small transfer. Never re-uploads an
+    offloaded array.
+    """
+    if isinstance(arr, np.ndarray):
+        return arr[:, idx_list]
+    return np.asarray(jnp.take(arr, jnp.asarray(idx_list), axis=1))
+
+
 def colinearity_check(points: List[Tuple[int, int]]) -> bool:
     """True iff the (exactly 3) points lie on one line over F_p."""
     (x0, y0), (x1, y1), (x2, y2) = points
@@ -151,15 +163,24 @@ class Fri:
         rounds = self.num_rounds
         omega, offset = self.omega, self.offset
 
-        codewords_dev: List = []  # canonical-form limb codewords, ON DEVICE
+        # Above this round size, committed artifacts are offloaded to host
+        # immediately: the usable HBM on one chip cannot hold every round's
+        # codeword + tree at production sizes.
+        offload_threshold = int(
+            __import__("os").environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))
+        )
+
+        codewords_dev: List = []  # canonical-form limb codewords
         trees: List[MerkleTree] = []
         codeword = codeword_mont
         for r in range(rounds):
             standard = fp.from_mont(codeword)
             tree = MerkleTree.commit(hash_felt_leaves([standard]))
-            # Codewords stay on device; ints are extracted only at the
-            # handful of queried indices (full-codeword transfers +
-            # Python-int conversion cost O(n) per round at scale).
+            if standard.shape[-1] >= offload_threshold:
+                tree.offload_to_host()
+                standard = np.asarray(standard)
+            # Codewords stay resident (device below the offload threshold);
+            # ints are extracted only at the handful of queried indices.
             codewords_dev.append(standard)
             trees.append(tree)
             proof_stream.push({"fri_root": digest_to_item(tree.root)})
@@ -196,11 +217,11 @@ class Fri:
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
 
         half = current.shape[-1] // 2
-        # One batched device gather + transfer per codeword.
+        # One batched gather per codeword.
         a_idx = list(indices)
         b_idx = [i + half for i in indices]
-        cur_cols = np.asarray(jnp.take(current, jnp.asarray(a_idx + b_idx), axis=1))
-        nxt_cols = np.asarray(jnp.take(nxt, jnp.asarray(a_idx), axis=1))
+        cur_cols = gather_columns(current, a_idx + b_idx)
+        nxt_cols = gather_columns(nxt, a_idx)
         current_tree._prefetch(a_idx + b_idx)
         next_tree._prefetch(a_idx)
         points = []

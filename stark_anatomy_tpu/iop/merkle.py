@@ -204,6 +204,18 @@ class MerkleTree:
         self._prefetch(list(indices))
         return [self.open(i) for i in indices]
 
+    def offload_to_host(self) -> None:
+        """Move all levels to host memory, freeing their HBM.
+
+        For very large trees (a 2^24-leaf tree holds ~2GB of digests) the
+        prover offloads committed trees so later phases have headroom;
+        opens then read host arrays directly.
+        """
+        self.levels = [
+            lv if isinstance(lv, np.ndarray) else np.asarray(lv)
+            for lv in self.levels
+        ]
+
     def verify(self, leaf: bytes, path: Sequence[bytes], index: int) -> bool:
         return verify_path(self.root, leaf, path, index)
 

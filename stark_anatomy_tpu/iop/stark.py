@@ -486,8 +486,16 @@ class Stark:
                     self._checkpoint_meta(boundary),
                 )
         # The x-power/constants/zerofier caches (several 512MB codewords at
-        # F = 2^24) are dead weight during FRI — release the HBM.
+        # F = 2^24) are dead weight during FRI — release the HBM, and above
+        # the offload threshold move the committed boundary-quotient
+        # artifacts to host so FRI has the chip to itself.
         self._cache.clear()
+        import os as _os
+
+        if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))):
+            with phase("prove.host-offload"):
+                bq_tree.offload_to_host()
+                bq_standard = [np.asarray(q) for q in bq_standard]
         return self._fri_and_open(ps, comb, bq_standard, bq_tree, f, e)
 
     def _fri_and_open(self, ps, comb, bq_standard, bq_tree, f, e):
@@ -501,17 +509,18 @@ class Stark:
             for base in (i, i + f // 2):
                 need.add(base % f)
                 need.add((base + e) % f)
+        from stark_anatomy_tpu.iop.fri import gather_columns
+
         need_list = sorted(need)
-        need_dev = jnp.asarray(need_list)
-        # One batched device gather per register (full-codeword transfers
-        # are prohibitive at scale over a remote-device link).
+        # One batched gather per register (full-codeword transfers are
+        # prohibitive at scale over a remote-device link).
         bq_values = {
             idx: [int(v) for v in vals]
             for idx, vals in zip(
                 need_list,
                 np.stack(
                     [
-                        limbs_to_ints(np.asarray(jnp.take(q, need_dev, axis=1)))
+                        limbs_to_ints(gather_columns(q, need_list))
                         for q in bq_standard
                     ],
                     axis=1,
