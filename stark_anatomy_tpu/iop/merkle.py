@@ -82,6 +82,8 @@ def hash_felt_leaves(columns: Sequence) -> jnp.ndarray:
         chunk = [c[:, start : start + _HASH_CHUNK] for c in columns]
         msg = limbs_to_leaf_words(chunk)
         out.append(blake2b_u32(msg, msg_len=16 * len(columns)))
+        # Serialize chunks: async-queued chunks would stack transients.
+        np.asarray(out[-1][:1, :1])
     return jnp.concatenate(out, axis=0)
 
 

@@ -109,6 +109,18 @@ def _lagrange_coeffs(points: List[Tuple[int, int]]) -> List[int]:
     return coeffs
 
 
+def _sync(arr) -> None:
+    """Force execution of the async queue up to `arr` (4-byte fetch).
+
+    Dispatch is asynchronous; without a sync between phases the transient
+    buffers of SEVERAL phases can be in flight at once and their peaks
+    stack — enough to exhaust HBM at F = 2^24 even though each phase fits
+    comfortably. (block_until_ready is not reliable over the remote-device
+    relay; a tiny fetch is.)
+    """
+    np.asarray(arr[:1, :1])
+
+
 def sample_weights(seed: bytes, count: int) -> List[int]:
     """Deterministic transcript-derived field elements (domain-separated)."""
     return [
@@ -381,6 +393,7 @@ class Stark:
         # 2-3. interpolate columns and LDE to the FRI coset.
         with phase("prove.trace-lde"):
             t_lde = self._trace_lde(trace, as_bytes, o, w, _randomizer)
+            _sync(t_lde[-1])
 
         # 4. boundary quotients.
         bps = self._boundary_polys(boundary)
@@ -389,6 +402,8 @@ class Stark:
             for j in range(w):
                 b_cw, zb_inv = self._boundary_codewords(bps[j])
                 bq.append(fp.mont_mul(fp.sub(t_lde[j], b_cw), zb_inv))
+                _sync(bq[-1])
+                del b_cw, zb_inv
 
         # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
         with phase("prove.bq-commit"):
@@ -398,6 +413,13 @@ class Stark:
             bq.clear()
             bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
         ps.push({"bq_root": digest_to_item(bq_tree.root)})
+        import os as _os
+
+        if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))):
+            # Free the tree's HBM now; it is only read again for the final
+            # openings (host arrays serve those directly).
+            with phase("prove.tree-offload"):
+                bq_tree.offload_to_host()
         return self._prove_rest(
             ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
             checkpoint_dir,
@@ -440,13 +462,17 @@ class Stark:
                     t_lde, nxt, self._constants_codewords()
                 )
             )
+            _sync(constraints[-1])
             del nxt
             t_lde.clear()
+            self._cache.pop("constants", None)
             zt_inv = self._transition_zerofier_inv()
             tq = []
             while constraints:
                 tq.append(fp.mont_mul(constraints.pop(0), zt_inv))
+            _sync(tq[-1])
             del zt_inv
+            self._cache.pop("zt_inv", None)
 
         # 9. combination codeword, every term lifted to degree_target.
         with phase("prove.combination"):
@@ -465,14 +491,20 @@ class Stark:
                 shift = self.degree_target - deg
                 lift = _const_mont(alpha, f)
                 if shift:
-                    lift = fp.add(
-                        lift,
-                        fp.mont_mul(_const_mont(beta, f), self._x_pow_codeword(shift)),
-                    )
+                    if f >= (1 << 23):
+                        xpow = fp.mont_mul(
+                            nttmod.powers(pow(self.omega, shift, PRIME), f),
+                            _const_mont(pow(self.offset, shift, PRIME), f),
+                        )
+                    else:
+                        xpow = self._x_pow_codeword(shift)
+                    lift = fp.add(lift, fp.mont_mul(_const_mont(beta, f), xpow))
+                    del xpow
                 else:
                     lift = fp.add(lift, _const_mont(beta, f))
                 comb = fp.add(comb, fp.mont_mul(lift, term))
-                del term
+                del term, lift
+                _sync(comb)
 
         if checkpoint_dir is not None:
             from stark_anatomy_tpu.utils import checkpoint as ckpt
