@@ -127,3 +127,19 @@ def test_checkpoint_resume(tmp_path):
     other_boundary = air.boundary_constraints((rp.hash(inp) + 1) % PRIME)
     p3 = stark2.prove(rp.trace(inp), other_boundary, checkpoint_dir=str(tmp_path))
     assert not stark2.verify(p3, boundary)
+
+
+def test_offload_path_identical_proof(monkeypatch):
+    # Forcing host-offload (tiny threshold) must not change proof bytes.
+    monkeypatch.setenv("STARK_ANATOMY_OFFLOAD_N", "1")
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    inp = 5150
+    boundary = air.boundary_constraints(rp.hash(inp))
+    offloaded = stark.prove(rp.trace(inp), boundary)
+    monkeypatch.delenv("STARK_ANATOMY_OFFLOAD_N")
+    stark2 = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    resident = stark2.prove(rp.trace(inp), boundary)
+    assert offloaded == resident
+    assert stark.verify(offloaded, boundary)
