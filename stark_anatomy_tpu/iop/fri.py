@@ -173,12 +173,24 @@ class Fri:
         codewords_dev: List = []  # canonical-form limb codewords
         trees: List[MerkleTree] = []
         codeword = codeword_mont
+        pending = None  # (round, tree, standard) whose D2H copies are in flight
         for r in range(rounds):
             standard = fp.from_mont(codeword)
             tree = MerkleTree.commit(hash_felt_leaves([standard]))
             if standard.shape[-1] >= offload_threshold:
-                tree.offload_to_host()
-                standard = np.asarray(standard)
+                # Kick the copies off now; materialize (and free the HBM)
+                # after the NEXT round's fold+commit has been dispatched so
+                # the transfer overlaps device work.
+                tree.start_offload()
+                try:
+                    standard.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+                if pending is not None:
+                    pr, ptree, pstd = pending
+                    ptree.offload_to_host()
+                    codewords_dev[pr] = np.asarray(pstd)
+                pending = (r, tree, standard)
             # Codewords stay resident (device below the offload threshold);
             # ints are extracted only at the handful of queried indices.
             codewords_dev.append(standard)
@@ -190,6 +202,10 @@ class Fri:
             codeword = fold(codeword, alpha, offset, omega)
             omega = omega * omega % PRIME
             offset = offset * offset % PRIME
+        if pending is not None:
+            pr, ptree, pstd = pending
+            ptree.offload_to_host()
+            codewords_dev[pr] = np.asarray(pstd)
 
         last_values = limbs_to_ints(np.asarray(codewords_dev[-1]))
         proof_stream.push(

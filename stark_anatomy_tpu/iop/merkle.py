@@ -206,12 +206,22 @@ class MerkleTree:
         self._prefetch(list(indices))
         return [self.open(i) for i in indices]
 
+    def start_offload(self) -> None:
+        """Begin async device->host copies of every level (non-blocking)."""
+        for lv in self.levels:
+            if not isinstance(lv, np.ndarray):
+                try:
+                    lv.copy_to_host_async()
+                except AttributeError:  # pragma: no cover - older jax
+                    pass
+
     def offload_to_host(self) -> None:
         """Move all levels to host memory, freeing their HBM.
 
         For very large trees (a 2^24-leaf tree holds ~2GB of digests) the
         prover offloads committed trees so later phases have headroom;
-        opens then read host arrays directly.
+        opens then read host arrays directly. Call start_offload() earlier
+        to overlap the copies with other device work.
         """
         self.levels = [
             lv if isinstance(lv, np.ndarray) else np.asarray(lv)

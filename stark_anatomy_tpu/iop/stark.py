@@ -416,10 +416,9 @@ class Stark:
         import os as _os
 
         if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))):
-            # Free the tree's HBM now; it is only read again for the final
-            # openings (host arrays serve those directly).
-            with phase("prove.tree-offload"):
-                bq_tree.offload_to_host()
+            # Start the D2H copies now; they overlap the transition phase
+            # and materialize (freeing the HBM) before FRI.
+            bq_tree.start_offload()
         return self._prove_rest(
             ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
             checkpoint_dir,
