@@ -1,1 +1,13 @@
-"""Multi-device / multi-host parallelism: meshes, sharded NTT, sharded prover."""
+"""Multi-device scale-out: mesh, sharded NTT, sharded Merkle commitment."""
+
+from stark_anatomy_tpu.parallel.mesh import (  # noqa: F401
+    SHARD_AXIS,
+    codeword_sharding,
+    make_mesh,
+    replicated,
+)
+from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded  # noqa: F401
+from stark_anatomy_tpu.parallel.ntt_sharded import (  # noqa: F401
+    sharded_coset_evaluate,
+    sharded_ntt,
+)
