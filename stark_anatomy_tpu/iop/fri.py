@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
-from stark_anatomy_tpu.iop.proof_stream import ProofStream
+from stark_anatomy_tpu.iop.proof_stream import ProofStream, ProofStreamError
 from stark_anatomy_tpu.ops import field_pallas as fp
 from stark_anatomy_tpu.ops import ntt as nttmod
 from stark_anatomy_tpu.ops.field import (
@@ -124,6 +124,17 @@ class Fri:
             raise ValueError("domain_length must be a power of two")
         if self.expansion_factor & (self.expansion_factor - 1):
             raise ValueError("expansion_factor must be a power of two")
+        # Degenerate round counts are configuration errors, not runtime
+        # surprises: 0 rounds crashes the prover, 1 round emits no query
+        # points (the verifier would accept a contentless transcript and
+        # the STARK layer would then reject honest proofs).
+        if self.num_rounds < 2:
+            raise ValueError(
+                f"FRI configuration degenerates to {self.num_rounds} round(s): "
+                f"domain_length={self.domain_length} must exceed both "
+                f"2*expansion_factor={2 * self.expansion_factor} and "
+                f"8*num_colinearity_tests={8 * self.num_colinearity_tests}"
+            )
 
     @property
     def omega(self) -> int:
@@ -264,7 +275,15 @@ class Fri:
 
         The returned (index, value) pairs of the TOP codeword let the STARK
         layer cross-check the combination polynomial at the queried spots.
+        Malformed transcripts (bad encodings, wrong path lengths, truncated
+        streams) are rejections — (False, []) — never exceptions.
         """
+        try:
+            return self._verify(proof_stream)
+        except (KeyError, TypeError, ValueError, IndexError, ProofStreamError):
+            return False, []
+
+    def _verify(self, proof_stream: ProofStream) -> Tuple[bool, List[Tuple[int, int]]]:
         rounds = self.num_rounds
         omega, offset = self.omega, self.offset
 
@@ -328,6 +347,12 @@ class Fri:
                 pa, pb, pc = (
                     [item_to_digest(d) for d in path] for path in paths_items[s]
                 )
+                # Pin every path to the committed tree height: verify_path
+                # itself accepts any length with index < 2^len, which would
+                # let a prover open against a shallower subtree.
+                height = n.bit_length() - 1
+                if len(pa) != height or len(pb) != height or len(pc) != height - 1:
+                    return False, []
                 if not verify_path(roots[r], hash_felts([ay]), pa, i):
                     return False, []
                 if not verify_path(roots[r], hash_felts([by]), pb, i + half):

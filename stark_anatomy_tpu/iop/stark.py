@@ -322,7 +322,7 @@ class Stark:
 
     # -- prover ------------------------------------------------------------
 
-    def _checkpoint_meta(self, boundary) -> dict:
+    def _checkpoint_meta(self, boundary, trace_digest: str, randomizer_seed: bytes) -> dict:
         return {
             "T": self.trace_length,
             "w": self.num_registers,
@@ -330,7 +330,26 @@ class Stark:
             "F": self.fri_domain_length,
             "checks": self.num_colinearity_checks,
             "boundary": [[int(c), int(r), str(v)] for (c, r, v) in boundary],
+            # Bind the inputs, not just the shapes: resuming with a
+            # different trace or randomizer seed must be refused, or the
+            # stale snapshot would silently produce a proof of the old
+            # trace (determinism contract, ADVICE round 1).
+            "trace": trace_digest,
+            "seed": randomizer_seed.hex(),
         }
+
+    @staticmethod
+    def _trace_digest(trace: np.ndarray, as_bytes: bool) -> str:
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=32)
+        if as_bytes:
+            h.update(np.ascontiguousarray(trace).tobytes())
+        else:
+            for row in trace:
+                for v in row:
+                    h.update((int(v) % PRIME).to_bytes(16, "little"))
+        return h.hexdigest()
 
     def prove(
         self,
@@ -353,12 +372,16 @@ class Stark:
         before FRI and resumes from it after a crash/restart
         (utils/checkpoint.py).
         """
+        trace = np.asarray(trace) if not isinstance(trace, np.ndarray) else trace
+        as_bytes = trace.dtype == np.uint8 and trace.ndim == 3
+        ckpt_meta = None
         if checkpoint_dir is not None:
             from stark_anatomy_tpu.utils import checkpoint as ckpt
 
-            loaded = ckpt.load(
-                checkpoint_dir, ckpt.STAGE_PRE_FRI, self._checkpoint_meta(boundary)
+            ckpt_meta = self._checkpoint_meta(
+                boundary, self._trace_digest(trace, as_bytes), randomizer_seed
             )
+            loaded = ckpt.load(checkpoint_dir, ckpt.STAGE_PRE_FRI, ckpt_meta)
             if loaded is not None:
                 ps = ProofStream(loaded["items"])
                 comb = jnp.asarray(loaded["arrays"]["comb"])
@@ -371,8 +394,6 @@ class Stark:
                     ps, comb, bq_standard, bq_tree,
                     self.fri_domain_length, self.expansion_shift,
                 )
-        trace = np.asarray(trace) if not isinstance(trace, np.ndarray) else trace
-        as_bytes = trace.dtype == np.uint8 and trace.ndim == 3
         t_len, w = trace.shape[:2]
         if t_len != self.trace_length or w != self.num_registers:
             raise ValueError("trace shape does not match the AIR")
@@ -421,7 +442,7 @@ class Stark:
             bq_tree.start_offload()
         return self._prove_rest(
             ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
-            checkpoint_dir,
+            checkpoint_dir, ckpt_meta,
         )
 
     def _trace_lde(self, trace, as_bytes, o, w, _randomizer):
@@ -445,7 +466,7 @@ class Stark:
 
     def _prove_rest(
         self, ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
-        checkpoint_dir=None,
+        checkpoint_dir=None, ckpt_meta=None,
     ):
         # 6. combination weights from the transcript.
         n_terms = self.air.num_constraints + w
@@ -514,7 +535,7 @@ class Stark:
                     arrays[f"bq{j}"] = np.asarray(bq_standard[j])
                 ckpt.save(
                     checkpoint_dir, ckpt.STAGE_PRE_FRI, list(ps.items), arrays,
-                    self._checkpoint_meta(boundary),
+                    ckpt_meta,
                 )
         # The x-power/constants/zerofier caches (several 512MB codewords at
         # F = 2^24) are dead weight during FRI — release the HBM, and above
@@ -609,8 +630,13 @@ class Stark:
             bq_vals[int(idx)] = [item_to_felt(v) for v in vals]
         for idx, path in paths_item:
             paths[int(idx)] = [item_to_digest(d) for d in path]
+        height = f.bit_length() - 1
         for idx, vals in bq_vals.items():
             if idx not in paths:
+                return False
+            # Pin the path length to the committed tree height (verify_path
+            # alone accepts any length with index < 2^len).
+            if len(paths[idx]) != height:
                 return False
             if not verify_path(bq_root, hash_felts(vals), paths[idx], idx):
                 return False

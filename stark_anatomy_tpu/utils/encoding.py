@@ -54,7 +54,16 @@ def felt_to_item(value: int) -> str:
 
 
 def item_to_felt(item: str) -> int:
+    # Strict canonical decimal: Python's int() accepts '+7', ' 7', '007',
+    # '1_0' — distinct transcript byte-encodings of one field element would
+    # hash differently under Fiat-Shamir, handing a malicious prover free
+    # transcript-malleability/grinding surface. Reject anything that does
+    # not round-trip exactly.
+    if not isinstance(item, str):
+        raise ValueError("field element item must be a string")
     value = int(item)
+    if item != str(value):
+        raise ValueError("non-canonical field element item")
     if not 0 <= value < PRIME:
         raise ValueError("field element item out of range")
     return value
@@ -73,7 +82,11 @@ def digest_to_item(digest: bytes) -> str:
 
 
 def item_to_digest(item: str) -> bytes:
+    if not isinstance(item, str):
+        raise ValueError("digest item must be a string")
     data = bytes.fromhex(item)
     if len(data) != 64:
         raise ValueError("expected a 64-byte digest")
+    if item != data.hex():  # reject uppercase/mixed-case re-encodings
+        raise ValueError("non-canonical digest item")
     return data
