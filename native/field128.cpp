@@ -155,11 +155,16 @@ void felt_powers(const u8* base16, u8* out, size_t n) {
 }
 
 // Rescue-Prime chain trace (models/rescue_prime.py semantics):
-//   state = [input, 0]; row t applies round t mod N; K*N rounds total.
+//   state = [input, 0]; each permutation occupies rows_per_perm rows
+//   (a power of two >= n_rounds): transition t applies round (t mod
+//   rows_per_perm) when that residue is < n_rounds and copies the state
+//   otherwise. The power-of-two alignment makes every AIR constant column
+//   periodic with period rows_per_perm over the omicron domain, which is
+//   what keeps the STARK verifier succinct (iop/stark.py).
 // mds16/mds_inv16: 4 values row-major; consts16: 2*m*N values; out_rows:
-// (K*N+1) * m * 16 bytes. alpha = 3; alpha_inv passed in (1/3 mod p-1).
+// (K*rows_per_perm+1) * m * 16 bytes. alpha = 3; alpha_inv = 1/3 mod p-1.
 void rescue_chain_trace(const u8* input16, u64 chain_length, u64 n_rounds,
-                        const u8* mds16, const u8* consts16,
+                        u64 rows_per_perm, const u8* mds16, const u8* consts16,
                         const u8* alpha_inv16, u8* out_rows) {
     const int m = 2;
     u128 mds[4];
@@ -168,9 +173,15 @@ void rescue_chain_trace(const u8* input16, u64 chain_length, u64 n_rounds,
     u128 state[2] = {load128(input16) % P, 0};
     store128(out_rows + 0, state[0]);
     store128(out_rows + 16, state[1]);
-    u64 total = chain_length * n_rounds;
+    u64 total = chain_length * rows_per_perm;
     for (u64 t = 0; t < total; ++t) {
-        u64 r = t % n_rounds;
+        u64 r = t % rows_per_perm;
+        u8* row_out = out_rows + 16 * (size_t)m * (t + 1);
+        if (r >= n_rounds) {  // copy row (power-of-two padding)
+            store128(row_out + 0, state[0]);
+            store128(row_out + 16, state[1]);
+            continue;
+        }
         const u8* c1 = consts16 + 16 * (2 * m * r);
         const u8* c2 = consts16 + 16 * (2 * m * r + m);
         u128 cubed[2], mid[2];
@@ -190,9 +201,8 @@ void rescue_chain_trace(const u8* input16, u64 chain_length, u64 n_rounds,
                                mul_mod(mds[2 * i + 1], root[1]));
             state[i] = add_mod(acc, load128(c2 + 16 * i));
         }
-        u8* row = out_rows + 16 * (size_t)m * (t + 1);
-        store128(row + 0, state[0]);
-        store128(row + 16, state[1]);
+        store128(row_out + 0, state[0]);
+        store128(row_out + 16, state[1]);
     }
 }
 

@@ -38,6 +38,7 @@ from stark_anatomy_tpu.ops import ntt as nttmod
 from stark_anatomy_tpu.ops.field import (
     PRIME,
     finv,
+    host_intt,
     primitive_root_of_unity,
     sample_field_element,
     sample_indices,
@@ -45,7 +46,6 @@ from stark_anatomy_tpu.ops.field import (
 from stark_anatomy_tpu.ops.limbs import (
     R_MOD_P,
     int_to_limbs,
-    ints_to_limbs,
     limbs_to_ints,
 )
 from stark_anatomy_tpu.utils.encoding import (
@@ -118,6 +118,10 @@ class Fri:
     domain_length: int
     expansion_factor: int
     num_colinearity_tests: int
+    # Optional jax.sharding.Mesh: folds stay data-parallel over the mesh
+    # and commitments reduce per-shard subtrees (parallel/merkle_sharded).
+    # Proof bytes are mesh-independent; the verifier ignores it entirely.
+    mesh: object = None
 
     def __post_init__(self):
         if self.domain_length & (self.domain_length - 1):
@@ -186,8 +190,9 @@ class Fri:
         codeword = codeword_mont
         pending = None  # (round, tree, standard) whose D2H copies are in flight
         for r in range(rounds):
+            codeword = self._reshard(codeword)
             standard = fp.from_mont(codeword)
-            tree = MerkleTree.commit(hash_felt_leaves([standard]))
+            tree = self._commit_one(standard)
             if standard.shape[-1] >= offload_threshold:
                 # Kick the copies off now; materialize (and free the HBM)
                 # after the NEXT round's fold+commit has been dispatched so
@@ -239,6 +244,31 @@ class Fri:
                 indices, proof_stream,
             )
         return top_indices
+
+    def _reshard(self, codeword_mont):
+        """Re-lay a fold result out in contiguous blocks over the mesh.
+
+        Folding halves the domain, so the natural output of a fold is
+        unevenly spread; one device_put per round keeps every fold and
+        commit data-parallel. No-op without a mesh or once the codeword
+        is too small to divide evenly.
+        """
+        if self.mesh is None:
+            return codeword_mont
+        from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS, codeword_sharding
+
+        import jax
+
+        if int(codeword_mont.shape[-1]) % self.mesh.shape[SHARD_AXIS]:
+            return codeword_mont
+        return jax.device_put(codeword_mont, codeword_sharding(self.mesh))
+
+    def _commit_one(self, standard):
+        if self.mesh is not None:
+            from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
+
+            return commit_sharded([standard], self.mesh)
+        return MerkleTree.commit(hash_felt_leaves([standard]))
 
     def _query_round(self, current, current_tree, nxt, next_tree, indices, proof_stream):
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
@@ -301,20 +331,23 @@ class Fri:
         if len(last_codeword) != last_len:
             return False, []
 
-        # Last codeword must hash to the last commitment...
-        last_limbs = ints_to_limbs(last_codeword)
-        last_tree = MerkleTree.commit(hash_felt_leaves([jnp.asarray(last_limbs)]))
+        # Last codeword must hash to the last commitment... The whole
+        # verifier is host-only by design (zero device dispatches: a STARK
+        # verifier must run anywhere, instantly), so both the re-commit and
+        # the low-degree check below use exact host arithmetic — the last
+        # codeword is small (<= max(2*expansion, 8*checks) values).
+        last_leaves = np.stack(
+            [np.frombuffer(hash_felts([v]), dtype="<u4") for v in last_codeword]
+        )
+        last_tree = MerkleTree.commit(last_leaves, device=False)
         if last_tree.root != roots[-1]:
             return False, []
-        # ...and must be of low enough degree (interpolate on its coset).
+        # ...and must be of low enough degree (interpolate on its coset:
+        # coefficients of q(offset*x) rescaled by offset^-i).
         last_offset = pow(offset, 1 << (rounds - 1), PRIME)
-        coeffs = limbs_to_ints(
-            np.asarray(
-                fp.from_mont(
-                    nttmod.coset_interpolate(fp.to_mont(jnp.asarray(last_limbs)), last_offset)
-                )
-            )
-        )
+        inv_off = finv(last_offset)
+        q = host_intt(last_codeword)
+        coeffs = [q[i] * pow(inv_off, i, PRIME) % PRIME for i in range(last_len)]
         degree_bound = last_len // self.expansion_factor  # max num coefficients
         if any(int(c) != 0 for c in coeffs[degree_bound:]):
             return False, []

@@ -101,19 +101,21 @@ class MerkleTree:
         self._fetch_cache: dict = {}
 
     @classmethod
-    def commit(cls, leaves) -> "MerkleTree":
+    def commit(cls, leaves, device: bool = True) -> "MerkleTree":
         """Build the tree from (n, 16) uint32 leaf digests (device or host).
 
         n must be a power of two (merkle.rs:36). Each reduction level is one
         batched device call; small tops (< _DEVICE_MIN_BATCH pairs) finish
-        on host to avoid per-dispatch overhead.
+        on host to avoid per-dispatch overhead. device=False keeps the
+        whole reduction on host hashlib — used by verifiers that must not
+        touch the device (e.g. the FRI last-codeword check, iop/fri.py).
         """
         n = int(leaves.shape[0])
         if not _is_pow2(n):
             raise ValueError("leaf count must be a power of two")
         levels: List = []
         current = leaves
-        while int(current.shape[0]) > 2 * _DEVICE_MIN_BATCH:
+        while device and int(current.shape[0]) > 2 * _DEVICE_MIN_BATCH:
             levels.append(current)
             c = jnp.asarray(current).reshape(-1, 2, 16)
             pairs = c.shape[0]
@@ -144,10 +146,10 @@ class MerkleTree:
         return cls(levels)
 
     @classmethod
-    def commit_bytes(cls, leaves: Sequence[bytes]) -> "MerkleTree":
+    def commit_bytes(cls, leaves: Sequence[bytes], device: bool = True) -> "MerkleTree":
         """Commit from 64-byte leaf digests (host convenience/parity API)."""
         arr = np.stack([np.frombuffer(leaf, dtype="<u4") for leaf in leaves])
-        return cls.commit(arr)
+        return cls.commit(arr, device=device)
 
     @property
     def num_leaves(self) -> int:

@@ -52,6 +52,9 @@ from stark_anatomy_tpu.ops.field import (
     GENERATOR,
     PRIME,
     finv,
+    host_intt,
+    host_ntt,
+    host_poly_eval,
     primitive_root_of_unity,
     sample_field_element,
 )
@@ -131,17 +134,45 @@ def sample_weights(seed: bytes, count: int) -> List[int]:
 
 @dataclass
 class Stark:
-    """STARK for one AIR shape (register count, cycle count, degree)."""
+    """STARK for one AIR shape (register count, cycle count, degree).
+
+    mesh: optional jax.sharding.Mesh — when set, every prover codeword
+    (trace LDE, quotients, combination, FRI rounds) lives sharded in
+    contiguous domain blocks across the mesh: transforms run the
+    all-to-all four-step NTT (parallel/ntt_sharded.py), Merkle commits
+    reduce per-shard subtrees locally (parallel/merkle_sharded.py), and
+    all elementwise field work is data-parallel under GSPMD. Proof bytes
+    are bit-identical to the single-device prover for every mesh shape
+    (tests/test_mesh.py); the verifier never looks at the mesh.
+    """
 
     air: object
     expansion_factor: int = 4
     num_colinearity_checks: int = 16
     num_randomizers: int | None = None
+    mesh: object | None = None
     _cache: dict = dc_field(default_factory=dict, repr=False)
 
     def __post_init__(self):
         if self.num_randomizers is None:
             self.num_randomizers = 4 * self.num_colinearity_checks
+
+    def _shard(self, arr):
+        """Lay an (8, n) codeword out in contiguous blocks over the mesh.
+
+        No-op without a mesh or when the domain doesn't divide evenly
+        (tiny tops of FRI); resharding a replicated array is one device_put.
+        """
+        if self.mesh is None:
+            return arr
+        from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS, codeword_sharding
+
+        import jax
+
+        s = self.mesh.shape[SHARD_AXIS]
+        if int(arr.shape[-1]) % s:
+            return arr
+        return jax.device_put(arr, codeword_sharding(self.mesh))
 
     # -- derived domain parameters ----------------------------------------
 
@@ -208,6 +239,7 @@ class Stark:
             domain_length=self.fri_domain_length,
             expansion_factor=self.expansion_factor,
             num_colinearity_tests=self.num_colinearity_checks,
+            mesh=self.mesh,
         )
 
     # -- shared device precomputations (cached per instance) ---------------
@@ -217,7 +249,9 @@ class Stark:
         if "x_cw" not in self._cache:
             f = self.fri_domain_length
             tab = nttmod.powers(self.omega, f)
-            self._cache["x_cw"] = fp.mont_mul(tab, _const_mont(self.offset, f))
+            self._cache["x_cw"] = self._shard(
+                fp.mont_mul(tab, _const_mont(self.offset, f))
+            )
         return self._cache["x_cw"]
 
     def _x_pow_codeword(self, s: int) -> jnp.ndarray:
@@ -226,8 +260,8 @@ class Stark:
         if key not in self._cache:
             f = self.fri_domain_length
             tab = nttmod.powers(pow(self.omega, s, PRIME), f)
-            self._cache[key] = fp.mont_mul(
-                tab, _const_mont(pow(self.offset, s, PRIME), f)
+            self._cache[key] = self._shard(
+                fp.mont_mul(tab, _const_mont(pow(self.offset, s, PRIME), f))
             )
         return self._cache[key]
 
@@ -245,13 +279,80 @@ class Stark:
         if limbs.shape != (8, o):
             raise ValueError(f"expected (8, {o}) limbs, got {limbs.shape}")
         cm = fp.to_mont(jnp.asarray(limbs))
+        if self.mesh is not None:
+            from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS
+            from stark_anatomy_tpu.parallel.ntt_sharded import (
+                sharded_coset_evaluate,
+                sharded_ntt,
+            )
+
+            s = self.mesh.shape[SHARD_AXIS]
+            # The four-step transform needs S | n and S | n/S; fall back to
+            # the single-device transform (bit-identical) for tiny domains.
+            if o % s == 0 and (o // s) % s == 0:
+                coeffs = sharded_ntt(self._shard(cm), self.mesh, inverse=True)
+                f = self.fri_domain_length
+                if f % s == 0 and (f // s) % s == 0:
+                    return sharded_coset_evaluate(coeffs, f, self.offset, self.mesh)
+                return self._shard(nttmod.coset_evaluate(coeffs, f, self.offset))
         coeffs = nttmod.intt(cm)
-        return nttmod.coset_evaluate(coeffs, self.fri_domain_length, self.offset)
+        return self._shard(
+            nttmod.coset_evaluate(coeffs, self.fri_domain_length, self.offset)
+        )
+
+    def _periodic_coeffs(self):
+        """(period, per-column interpolant coefficients) — host, exact.
+
+        Column c's omicron-domain interpolant is Q_c(x^(O/period)) where
+        Q_c (degree < period) interpolates the period values on the
+        subgroup of order `period` — the identity that keeps both sides
+        succinct (the verifier Horner-evaluates Q_c at x^(O/period); the
+        prover tiles a period*blowup-length block over the FRI domain).
+        """
+        if "periodic_host" not in self._cache:
+            period, cols = self.air.periodic_columns()
+            if self.omicron_domain_length % period:
+                raise ValueError(
+                    "periodic-column period must divide the omicron domain"
+                )
+            self._cache["periodic_host"] = (
+                period,
+                [host_intt([v % PRIME for v in col]) for col in cols],
+            )
+        return self._cache["periodic_host"]
+
+    def eval_periodic_at(self, x: int) -> List[int]:
+        """Every periodic column's interpolant at host point x (exact)."""
+        period, coeffs = self._periodic_coeffs()
+        y = pow(x, self.omicron_domain_length // period, PRIME)
+        return [host_poly_eval(q, y) for q in coeffs]
 
     def _constants_codewords(self) -> List[jnp.ndarray]:
+        """(8, F) Montgomery codewords of the AIR's constant columns.
+
+        Periodic AIRs (periodic_columns): the codeword over the FRI coset
+        repeats with period blk = period * F/O, so ONE blk-length block is
+        evaluated exactly on host (microseconds) and tiled on device — no
+        O(F log F) transforms. Legacy AIRs fall back to a full column LDE.
+        """
         if "constants" not in self._cache:
             o = self.omicron_domain_length
-            if hasattr(self.air, "constant_columns_bytes"):
+            f = self.fri_domain_length
+            if hasattr(self.air, "periodic_columns"):
+                period, coeffs = self._periodic_coeffs()
+                step = o // period
+                blk = period * f // o  # block length on the FRI domain
+                a = pow(self.offset, step, PRIME)  # coset offset^(O/period)
+                apow = [pow(a, d, PRIME) for d in range(period)]
+                cws = []
+                for q in coeffs:
+                    scaled = [q[d] * apow[d] % PRIME for d in range(period)]
+                    scaled += [0] * (blk - period)
+                    block = host_ntt(scaled)  # Q_c on the coset a*<omega_blk>
+                    limbs = ints_to_limbs([v * R_MOD_P % PRIME for v in block])
+                    cws.append(self._shard(jnp.tile(jnp.asarray(limbs), (1, f // blk))))
+                self._cache["constants"] = cws
+            elif hasattr(self.air, "constant_columns_bytes"):
                 cols = self.air.constant_columns_bytes(o)
                 self._cache["constants"] = [
                     self.column_lde_limbs(bytes_to_limbs(c)) for c in cols
@@ -432,7 +533,12 @@ class Stark:
             # Free the Montgomery forms: the combination step rebuilds them
             # with one multiply each, and 512MB per codeword matters here.
             bq.clear()
-            bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
+            if self.mesh is not None:
+                from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
+
+                bq_tree = commit_sharded(bq_standard, self.mesh)
+            else:
+                bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
         ps.push({"bq_root": digest_to_item(bq_tree.root)})
         import os as _os
 
@@ -642,17 +748,24 @@ class Stark:
                 return False
 
         bps = self._boundary_polys(boundary)
-        # Constants at the queried rows, via one gather from the public
-        # constants codewords (exact; the columns are part of the AIR).
+        # Constants at the queried rows. Periodic AIRs evaluate the
+        # interpolants succinctly on host (O(period) per point — the
+        # verifier does no device work at all); legacy AIRs with dense
+        # constant columns fall back to one device gather.
         query_rows = sorted({i for (i, _) in top_points} | {(i + e) % f for (i, _) in top_points})
-        const_cw = self._constants_codewords()
         const_at: Dict[int, List[int]] = {}
-        gathered = [
-            limbs_to_ints(np.asarray(fp.from_mont(c[:, query_rows])))
-            for c in const_cw
-        ]
-        for pos, idx in enumerate(query_rows):
-            const_at[idx] = [int(g[pos]) for g in gathered]
+        if hasattr(self.air, "periodic_columns"):
+            for idx in query_rows:
+                x = self.offset * pow(self.omega, idx, PRIME) % PRIME
+                const_at[idx] = self.eval_periodic_at(x)
+        else:
+            const_cw = self._constants_codewords()
+            gathered = [
+                limbs_to_ints(np.asarray(fp.from_mont(c[:, query_rows])))
+                for c in const_cw
+            ]
+            for pos, idx in enumerate(query_rows):
+                const_at[idx] = [int(g[pos]) for g in gathered]
 
         excluded = [pow(self.omicron, r, PRIME) for r in range(self.trace_length - 1, o)]
         degrees = [self.transition_quotient_degree] * self.air.num_constraints + [

@@ -21,6 +21,21 @@ which gives the degree-alpha-in-both-directions AIR constraint
 used by the STARK layer (iop/stark.py); C1/C2 are the round-constant
 columns interpolated over the trace domain.
 
+Trace layout (round 2 redesign, the production-STARK alignment trick):
+each permutation occupies ROWS_PER_PERM = 32 trace rows — transitions
+t with (t mod 32) < 27 apply round (t mod 32); the remaining 5
+transitions per block copy the state unchanged. Because 32 is a power of
+two DIVIDING every omicron domain, all AIR constant columns (round
+constants + the round/copy selector) are exactly 32-periodic over the
+whole domain: their interpolants are Q(x^(O/32)) for degree-<32 Q, so
+both the verifier (host Horner at x^(O/32), O(1) work per query) and the
+prover (a period-32*blowup tiled codeword) evaluate them succinctly.
+With the 27-periodic layout of round 1 this was impossible — 27 divides
+no power-of-two domain, so constants needed a full O(F log F) LDE and
+the verifier was O(F). The combined transition constraint
+    sel(x) * round_constraint + (1 - sel(x)) * (next - cur)
+has algebraic degree alpha + 1 = 4.
+
 Device evaluation (eval_transition_device) runs on (8, n) Montgomery limb
 arrays (ops/field_jnp.py) — fully vectorized over the LDE domain. Host
 evaluation (eval_transition_host) is exact scalar Python for the verifier.
@@ -60,12 +75,18 @@ def _mat_inv_2x2(m: List[List[int]]) -> List[List[int]]:
 
 @dataclass(frozen=True)
 class RescuePrime:
-    """The pinned Rescue-Prime instance (m=2, N=27, alpha=3)."""
+    """The pinned Rescue-Prime instance (m=2, N=27, alpha=3).
+
+    rows_per_perm: trace rows per permutation — a power of two >= N so the
+    AIR's constant columns are periodic with a power-of-two period (see
+    module docstring). The permutation itself is independent of it.
+    """
 
     m: int = 2
     capacity: int = 1
     N: int = 27
     alpha: int = 3
+    rows_per_perm: int = 32
 
     @property
     def rate(self) -> int:
@@ -122,11 +143,12 @@ class RescuePrime:
     def trace(self, input_element: int, chain_length: int = 1) -> np.ndarray:
         """Execution trace of `chain_length` chained permutations.
 
-        Row t is the state after t rounds; rounds cycle through the N round
-        functions (row t applies round t mod N), so a chain of K
-        permutations is K*N uniform steps. Returns (K*N + 1, m) object
-        array of ints. Row 0 = [input, 0, ...]; output = last row's first
-        element (== iterating `permutation` K times).
+        Each permutation occupies rows_per_perm (= 32) rows: transition t
+        applies round (t mod 32) when that residue is < N and copies the
+        state otherwise (power-of-two schedule, see module docstring).
+        Returns (K*32 + 1, m) object array of ints. Row 0 = [input, 0, ...];
+        output = last row's first element (== iterating `permutation` K
+        times).
 
         Generation runs in the native C++ library when available (the
         chain is inherently sequential — host work; tests pin native ==
@@ -147,8 +169,10 @@ class RescuePrime:
     def _trace_py(self, input_element: int, chain_length: int = 1) -> np.ndarray:
         state = [input_element % PRIME] + [0] * (self.m - 1)
         rows = [list(state)]
-        for t in range(chain_length * self.N):
-            state = self.round_function(state, t % self.N)
+        for t in range(chain_length * self.rows_per_perm):
+            r = t % self.rows_per_perm
+            if r < self.N:
+                state = self.round_function(state, r)
             rows.append(list(state))
         return np.array(rows, dtype=object)
 
@@ -163,11 +187,14 @@ class RescuePrime:
 class RescuePrimeAir:
     """AIR for a length-K Rescue-Prime permutation chain.
 
-    cycle_count T = K*N + 1 rows; transition t -> t+1 applies round
-    t mod N. num_constraints = m, each of algebraic degree alpha = 3 in the
-    register variables. Round constants enter as interpolated trace-domain
-    columns (periodic with period N over the chain, zero on padding rows —
-    the STARK's transition zerofier excludes those rows anyway).
+    cycle_count T = K*32 + 1 rows; transition t -> t+1 applies round
+    (t mod 32) when that residue is < N, and copies the state otherwise
+    (power-of-two schedule, module docstring). num_constraints = m, each of
+    algebraic degree alpha + 1 = 4 in the register variables (the round/copy
+    selector multiplies the cubic round constraint). All constant columns —
+    2m round-constant columns and the selector — are EXACTLY periodic with
+    period 32 over any omicron domain, so both sides evaluate them
+    succinctly (periodic_columns below; consumed by iop/stark.py).
     """
 
     rp: RescuePrime
@@ -180,55 +207,43 @@ class RescuePrimeAir:
 
     @property
     def cycle_count(self) -> int:
-        return self.chain_length * self.rp.N + 1
+        return self.chain_length * self.rp.rows_per_perm + 1
 
     @property
     def constraint_degree(self) -> int:
-        return self.rp.alpha
+        # sel(x) (degree < O from a periodic column) times the cubic round
+        # constraint: one extra trace-degree factor.
+        return self.rp.alpha + 1
 
     @property
     def num_constraints(self) -> int:
         return self.rp.m
 
-    def constant_columns(self, num_rows: int) -> List[List[int]]:
-        """2m columns of per-row round constants, zero-padded to num_rows.
+    def periodic_columns(self):
+        """(period, columns): each column is `period` values, row t of the
+        omicron domain holding column[t mod period].
 
-        Column layout: [C1_0 .. C1_{m-1}, C2_0 .. C2_{m-1}]; row t holds the
-        constants applied by transition t (round t mod N) for t < T-1.
+        Layout: [C1_0 .. C1_{m-1}, C2_0 .. C2_{m-1}, sel]; slot c < N holds
+        round c's constants with sel = 1, slots N..period-1 are copy rows
+        (constants 0, sel = 0). The period (rows_per_perm = 32) divides
+        every power-of-two omicron domain, which is what makes these
+        columns succinct for the verifier (iop/stark.py periodic machinery).
         """
-        m, c = self.rp.m, self.rp.round_constants
-        cols = [[0] * num_rows for _ in range(2 * m)]
-        for t in range(self.cycle_count - 1):
-            r = t % self.rp.N
-            for i in range(m):
-                cols[i][t] = c[2 * m * r + i]
-                cols[m + i][t] = c[2 * m * r + m + i]
-        return cols
-
-    def constant_columns_bytes(self, num_rows: int) -> List[np.ndarray]:
-        """constant_columns as (num_rows, 16) uint8 canonical encodings.
-
-        The columns are periodic with period N over the chain, so they are
-        built by tiling N pre-encoded rows — no per-row Python-int work
-        (matters at 2^20 rows; values identical to constant_columns).
-        """
-        m, n_r = self.rp.m, self.rp.N
+        m, n_r, p = self.rp.m, self.rp.N, self.rp.rows_per_perm
         c = self.rp.round_constants
-        t_len = self.cycle_count
-        cols = []
-        for k in range(2 * m):
-            if k < m:
-                period = [c[2 * m * r + k] for r in range(n_r)]
-            else:
-                period = [c[2 * m * r + m + (k - m)] for r in range(n_r)]
-            enc = np.stack(
-                [np.frombuffer(v.to_bytes(16, "little"), np.uint8) for v in period]
-            )
-            reps = -(-(t_len - 1) // n_r)
-            out = np.zeros((num_rows, 16), dtype=np.uint8)
-            out[: t_len - 1] = np.tile(enc, (reps, 1))[: t_len - 1]
-            cols.append(out)
-        return cols
+        cols = [[0] * p for _ in range(2 * m + 1)]
+        for r in range(p):
+            if r < n_r:
+                for i in range(m):
+                    cols[i][r] = c[2 * m * r + i]
+                    cols[m + i][r] = c[2 * m * r + m + i]
+                cols[2 * m][r] = 1
+        return p, cols
+
+    def constant_columns(self, num_rows: int) -> List[List[int]]:
+        """Per-row expansion of periodic_columns (tests/reference path)."""
+        period, cols = self.periodic_columns()
+        return [[col[t % period] for t in range(num_rows)] for col in cols]
 
     def boundary_constraints(self, output_element: int) -> List[tuple]:
         """(cycle, register, value) triples: capacity starts 0, output pinned."""
@@ -244,23 +259,26 @@ class RescuePrimeAir:
         nxt: List[jnp.ndarray],
         constants: List[jnp.ndarray],
     ) -> List[jnp.ndarray]:
-        """Batched constraints: M.cur^a + C1 - (M^{-1}(nxt - C2))^a.
+        """Batched constraints, selector-combined round/copy form:
+
+            sel * (M.cur^a + C1 - (M^{-1}(nxt - C2))^a) + (1-sel) * (nxt - cur)
 
         cur/nxt: m arrays (8, n) Montgomery form (trace row and next row
-        evaluated across the domain); constants: 2m arrays (8, n) Montgomery
-        form (the constant_columns LDE'd by the STARK layer). Returns m
-        constraint codewords, Montgomery form.
+        evaluated across the domain); constants: 2m+1 arrays (8, n)
+        Montgomery form (the periodic_columns evaluated on the domain by
+        the STARK layer; last entry is the selector). Returns m constraint
+        codewords, Montgomery form.
         """
         from stark_anatomy_tpu.ops import field_pallas as fp
+        from stark_anatomy_tpu.ops.limbs import R_MOD_P, int_to_limbs
 
         m = self.rp.m
         mds = self.rp.mds
         mds_inv = self.rp.mds_inv
         n = cur[0].shape[-1]
+        sel = constants[2 * m]
 
         def cmul(value: int, arr):
-            from stark_anatomy_tpu.ops.limbs import R_MOD_P, int_to_limbs
-
             c = jnp.asarray(
                 int_to_limbs(value * R_MOD_P % PRIME), dtype=jnp.uint32
             ).reshape(8, 1)
@@ -269,6 +287,11 @@ class RescuePrimeAir:
         def cube(arr):
             return fp.mont_mul(fp.mont_mul(arr, arr), arr)
 
+        one = jnp.broadcast_to(
+            jnp.asarray(int_to_limbs(R_MOD_P % PRIME), dtype=jnp.uint32).reshape(8, 1),
+            (8, n),
+        )
+        not_sel = fp.sub(one, sel)
         cur_cubed = [cube(c) for c in cur]
         lhs = []
         for i in range(m):
@@ -285,7 +308,12 @@ class RescuePrimeAir:
                 acc = fp.add(acc, cmul(mds_inv[i][j], shifted[j]))
             rhs_lin.append(acc)
         del shifted
-        return [fp.sub(lhs[i], cube(rhs_lin[i])) for i in range(m)]
+        out = []
+        for i in range(m):
+            round_part = fp.mont_mul(sel, fp.sub(lhs[i], cube(rhs_lin[i])))
+            copy_part = fp.mont_mul(not_sel, fp.sub(nxt[i], cur[i]))
+            out.append(fp.add(round_part, copy_part))
+        return out
 
     def eval_transition_host(
         self,
@@ -296,6 +324,7 @@ class RescuePrimeAir:
         """Exact scalar constraint evaluation (verifier side)."""
         m, a = self.rp.m, self.rp.alpha
         mds, mds_inv = self.rp.mds, self.rp.mds_inv
+        sel = constants[2 * m] % PRIME
         out = []
         for i in range(m):
             lhs = (
@@ -305,5 +334,7 @@ class RescuePrimeAir:
             rhs_lin = (
                 sum(mds_inv[i][j] * (nxt[j] - constants[m + j]) for j in range(m))
             ) % PRIME
-            out.append((lhs - pow(rhs_lin, a, PRIME)) % PRIME)
+            round_part = (lhs - pow(rhs_lin, a, PRIME)) % PRIME
+            copy_part = (nxt[i] - cur[i]) % PRIME
+            out.append((sel * round_part + (1 - sel) * copy_part) % PRIME)
         return out

@@ -66,7 +66,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ("felt_powers", [u8p, u8p, ctypes.c_size_t]),
         (
             "rescue_chain_trace",
-            [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u8p, u8p, u8p],
+            [u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, u8p, u8p, u8p, u8p],
         ),
     ]:
         fn = getattr(lib, name)
@@ -172,10 +172,11 @@ def rescue_chain_trace_bytes(rp, input_element: int, chain_length: int) -> np.nd
     consts = _enc(rp.round_constants)
     ainv = _enc([rp.alpha_inv])
     inp = _enc([input_element])
-    rows = chain_length * rp.N + 1
+    rows = chain_length * rp.rows_per_perm + 1
     out = np.empty((rows * rp.m, 16), dtype=np.uint8)
     lib.rescue_chain_trace(
-        _ptr(inp), chain_length, rp.N, _ptr(mds), _ptr(consts), _ptr(ainv), _ptr(out)
+        _ptr(inp), chain_length, rp.N, rp.rows_per_perm,
+        _ptr(mds), _ptr(consts), _ptr(ainv), _ptr(out)
     )
     return out.reshape(rows, rp.m, 16)
 

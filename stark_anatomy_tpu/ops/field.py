@@ -143,6 +143,58 @@ ZERO = FieldElement(0)
 ONE = FieldElement(1)
 
 
+def host_ntt(values: list[int], inverse: bool = False) -> list[int]:
+    """Exact radix-2 NTT/iNTT on host ints (verifier-side, small sizes).
+
+    Natural-order coefficients <-> evaluations on <omega_n>. Used where the
+    verifier must stay free of device dispatches: the FRI last-codeword
+    low-degree check and periodic-column interpolation (iop/stark.py).
+    O(n log n) Python-int work — microseconds at the <= 2^12 sizes involved.
+    """
+    n = len(values)
+    if n & (n - 1):
+        raise ValueError(f"NTT size must be a power of two, got {n}")
+    if n == 1:
+        return [values[0] % PRIME]
+    w = primitive_root_of_unity(n)
+    if inverse:
+        w = finv(w)
+    # Iterative DIT with bit-reversed input.
+    bits = n.bit_length() - 1
+    out = [0] * n
+    for i, v in enumerate(values):
+        out[int(bin(i)[2:].zfill(bits)[::-1], 2)] = v % PRIME
+    m = 2
+    while m <= n:
+        wm = pow(w, n // m, PRIME)
+        for start in range(0, n, m):
+            t = 1
+            for j in range(m // 2):
+                a = out[start + j]
+                b = out[start + j + m // 2] * t % PRIME
+                out[start + j] = (a + b) % PRIME
+                out[start + j + m // 2] = (a - b) % PRIME
+                t = t * wm % PRIME
+        m *= 2
+    if inverse:
+        ninv = finv(n)
+        out = [v * ninv % PRIME for v in out]
+    return out
+
+
+def host_intt(values: list[int]) -> list[int]:
+    """Evaluations on <omega_n> -> coefficients, exact host ints."""
+    return host_ntt(values, inverse=True)
+
+
+def host_poly_eval(coeffs: list[int], x: int) -> int:
+    """Horner evaluation of a coefficient list (low-order first) at x."""
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * x + c) % PRIME
+    return acc
+
+
 def sample_field_element(data: bytes) -> int:
     """Canonical challenge -> field element mapping.
 

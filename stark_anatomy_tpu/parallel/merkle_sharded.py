@@ -49,11 +49,11 @@ def commit_sharded(columns: Sequence, mesh) -> MerkleTree:
     """
     n = int(columns[0].shape[-1])
     s = mesh.shape[SHARD_AXIS]
-    if s == 1:
-        return MerkleTree.commit(hash_felt_leaves(columns))
     per_shard = n // s
-    if n % s or per_shard & (per_shard - 1) or per_shard == 0:
-        raise ValueError("per-shard leaf count must be a power of two")
+    if s == 1 or n % s or per_shard & (per_shard - 1) or per_shard == 0:
+        # Tiny or non-divisible domains (FRI tail rounds): single-device
+        # commit — identical tree, no sharding to exploit.
+        return MerkleTree.commit(hash_felt_leaves(columns))
     levels_per_shard = per_shard.bit_length() - 1
 
     sharding = NamedSharding(mesh, P(None, SHARD_AXIS))

@@ -79,3 +79,41 @@ def test_mesh_size_1_fallback():
     np.testing.assert_array_equal(
         np.asarray(sharded_ntt(x, mesh1)), np.asarray(nttmod.ntt(x))
     )
+
+
+def test_sharded_ntt_large_domain(mesh8):
+    # 2^16-scale case: the four-step index bookkeeping at production-like
+    # n2/S ratios, not just the toy sizes above.
+    n = 1 << 16
+    x = _random_codeword(n, seed=5)
+    want = np.asarray(nttmod.ntt(x))
+    xs = jax.device_put(x, codeword_sharding(mesh8))
+    got = np.asarray(sharded_ntt(xs, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_ntt_rejects_indivisible_shards(mesh8):
+    # n = 32 on 8 shards: S | n but S does not divide n/S = 4 — the
+    # four-step factorization is undefined; must fail loudly, not wrap.
+    x = _random_codeword(32, seed=6)
+    with pytest.raises(ValueError, match="divide"):
+        sharded_ntt(jax.device_put(x, codeword_sharding(mesh8)), mesh8)
+
+
+def test_full_prove_on_mesh_bit_identical(mesh8):
+    # The north-star integration: Stark.prove(mesh=...) runs trace-LDE,
+    # quotients, combination, every FRI fold, and every Merkle commit
+    # sharded — and the proof BYTES equal the single-device prover's.
+    from stark_anatomy_tpu.iop.stark import Stark
+    from stark_anatomy_tpu.models.rescue_prime import RescuePrime, RescuePrimeAir
+
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    trace = rp.trace(4242)
+    boundary = air.boundary_constraints(rp.hash(4242))
+    single = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    want = single.prove(trace, boundary)
+    sharded = Stark(air, expansion_factor=4, num_colinearity_checks=2, mesh=mesh8)
+    got = sharded.prove(trace, boundary)
+    assert got == want
+    assert single.verify(got, boundary)

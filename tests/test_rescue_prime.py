@@ -40,12 +40,15 @@ def test_hash_deterministic_and_spread(rp):
 
 def test_trace_consistent_with_hash(rp):
     tr = rp.trace(5)
-    assert tr.shape == (rp.N + 1, rp.m)
+    assert tr.shape == (rp.rows_per_perm + 1, rp.m)
     assert tr[0][0] == 5 and tr[0][1] == 0
     assert tr[-1][0] == rp.hash(5)
+    # rows N..rows_per_perm are copy rows (power-of-two padding)
+    for t in range(rp.N, rp.rows_per_perm):
+        assert list(tr[t]) == list(tr[rp.N])
     # chain of 3
     tr3 = rp.trace(5, chain_length=3)
-    assert tr3.shape == (3 * rp.N + 1, rp.m)
+    assert tr3.shape == (3 * rp.rows_per_perm + 1, rp.m)
     assert tr3[-1][0] == rp.chain_output(5, 3)
 
 
@@ -55,7 +58,7 @@ def test_air_constraints_hold_on_honest_trace(rp):
     t_len = air.cycle_count
     cols = air.constant_columns(t_len)
     for t in range(t_len - 1):
-        consts = [cols[k][t] for k in range(2 * rp.m)]
+        consts = [cols[k][t] for k in range(2 * rp.m + 1)]
         cons = air.eval_transition_host(list(tr[t]), list(tr[t + 1]), consts)
         assert all(c == 0 for c in cons), f"row {t}: {cons}"
 
@@ -64,10 +67,17 @@ def test_air_constraints_catch_bad_transition(rp):
     air = RescuePrimeAir(rp, chain_length=1)
     tr = rp.trace(7)
     cols = air.constant_columns(air.cycle_count)
-    consts = [cols[k][3] for k in range(2 * rp.m)]
+    consts = [cols[k][3] for k in range(2 * rp.m + 1)]
     bad_next = [(int(v) + 1) % PRIME for v in tr[4]]
     cons = air.eval_transition_host(list(tr[3]), bad_next, consts)
     assert any(c != 0 for c in cons)
+    # ... and on a copy row (selector = 0): the copy constraint must fire.
+    t_copy = rp.N  # first padding transition
+    consts_c = [cols[k][t_copy] for k in range(2 * rp.m + 1)]
+    assert consts_c[2 * rp.m] == 0
+    bad_next_c = [(int(v) + 1) % PRIME for v in tr[t_copy + 1]]
+    cons_c = air.eval_transition_host(list(tr[t_copy]), bad_next_c, consts_c)
+    assert any(c != 0 for c in cons_c)
 
 
 def test_device_constraints_match_host(rp):
@@ -91,7 +101,7 @@ def test_device_constraints_match_host(rp):
     ]
     consts = [
         fj.to_mont(jnp.asarray(ints_to_limbs([cols[k][t] for t in range(n)])))
-        for k in range(2 * rp.m)
+        for k in range(2 * rp.m + 1)
     ]
     dev = air.eval_transition_device(cur, nxt, consts)
     for k in range(rp.m):
@@ -101,7 +111,7 @@ def test_device_constraints_match_host(rp):
     rng = np.random.default_rng(0)
     rnd_cur = [int(x) for x in rng.integers(1, 1 << 62, size=rp.m)]
     rnd_nxt = [int(x) for x in rng.integers(1, 1 << 62, size=rp.m)]
-    rnd_c = [int(x) for x in rng.integers(1, 1 << 62, size=2 * rp.m)]
+    rnd_c = [int(x) for x in rng.integers(1, 1 << 62, size=2 * rp.m + 1)]
     host = air.eval_transition_host(rnd_cur, rnd_nxt, rnd_c)
     curd = [fj.to_mont(jnp.asarray(ints_to_limbs([v]))) for v in rnd_cur]
     nxtd = [fj.to_mont(jnp.asarray(ints_to_limbs([v]))) for v in rnd_nxt]

@@ -23,9 +23,9 @@ def setup():
 
 def test_domain_parameters(setup):
     _, _, stark, *_ = setup
-    assert stark.trace_length == 28
-    assert stark.omicron_domain_length == 64  # 28 + 8 randomizers -> 64
-    assert stark.transition_quotient_degree == 3 * 63 - 27
+    assert stark.trace_length == 33  # 32 rows per permutation + 1
+    assert stark.omicron_domain_length == 64  # 33 + 8 randomizers -> 64
+    assert stark.transition_quotient_degree == 4 * 63 - 32
     assert stark.fri_domain_length == 1024
     assert stark.expansion_shift == 16
 
@@ -78,13 +78,13 @@ def test_chain_proof():
 def test_default_config_shape():
     stark = default_config(chain_length=1, num_colinearity_checks=2)
     assert stark.num_registers == 2
-    assert stark.trace_length == 28
+    assert stark.trace_length == 33
 
 
 def test_bytes_trace_path_identical_proof():
     # The (T, w, 16) uint8 bulk path must produce byte-identical proofs
-    # to the Python-int path, and constant_columns_bytes must encode the
-    # same columns as constant_columns.
+    # to the Python-int path, and the periodic constant columns must
+    # tile into the same per-row values constant_columns reports.
     rp = RescuePrime()
     air = RescuePrimeAir(rp, chain_length=1)
     stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
@@ -95,12 +95,27 @@ def test_bytes_trace_path_identical_proof():
     p2 = stark2.prove(rp.trace_bytes(inp), boundary)
     assert p1 == p2
     assert stark.verify(p2, boundary)
-    # constants encodings agree
-    cols_i = air.constant_columns(stark.omicron_domain_length)
-    cols_b = air.constant_columns_bytes(stark.omicron_domain_length)
-    for ci, cb in zip(cols_i, cols_b):
-        for row, v in enumerate(ci):
-            assert cb[row].tobytes() == int(v).to_bytes(16, "little")
+    # periodic columns tile into constant_columns
+    o = stark.omicron_domain_length
+    period, pcols = air.periodic_columns()
+    cols = air.constant_columns(o)
+    assert o % period == 0
+    for pc, col in zip(pcols, cols):
+        assert col == [pc[t % period] for t in range(o)]
+
+
+def test_periodic_interpolants_match_columns():
+    # eval_periodic_at(omicron^t) must reproduce the raw column values —
+    # the identity the succinct verifier relies on (iop/stark.py).
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    o = stark.omicron_domain_length
+    cols = air.constant_columns(o)
+    for t in list(range(0, o, 7)) + [o - 1]:
+        x = pow(stark.omicron, t, PRIME)
+        vals = stark.eval_periodic_at(x)
+        assert vals == [col[t] for col in cols]
 
 
 def test_checkpoint_resume(tmp_path):
