@@ -25,7 +25,16 @@ def main() -> int:
     ap.add_argument("--checks", type=int, default=16, help="FRI colinearity checks")
     ap.add_argument("--out", type=str, default=None, help="write proof bytes here")
     ap.add_argument("--checkpoint-dir", type=str, default=None)
+    ap.add_argument(
+        "--seed", type=str, default=None,
+        help="deterministic randomizer seed (utf-8). Default: fresh entropy "
+        "per run (zero-knowledge). Required for checkpoint resume across "
+        "process restarts.",
+    )
     args = ap.parse_args()
+    if args.checkpoint_dir and args.seed is None:
+        ap.error("--checkpoint-dir needs --seed (resume must re-derive the "
+                 "same randomizers after a restart)")
 
     from stark_anatomy_tpu.iop.stark import Stark
     from stark_anatomy_tpu.models.rescue_prime import RescuePrime, RescuePrimeAir
@@ -46,7 +55,11 @@ def main() -> int:
     print(f"trace generated in {time.time() - t0:.2f}s; output = {output}")
 
     t0 = time.time()
-    proof = stark.prove(trace, boundary, checkpoint_dir=args.checkpoint_dir)
+    proof = stark.prove(
+        trace, boundary,
+        randomizer_seed=args.seed.encode() if args.seed is not None else None,
+        checkpoint_dir=args.checkpoint_dir,
+    )
     print(f"proved in {time.time() - t0:.2f}s; proof = {len(proof)} bytes")
     for name, stats in sorted(telemetry.report().items()):
         print(f"  {name}: {stats['seconds']:.2f}s")

@@ -14,7 +14,9 @@ Montgomery limb kernels (ops/field_jnp.py), where zerofiers never vanish:
     transition codewords from AIR (vectorized over the domain; next row
       = LDE rolled by F/O positions)
     transition quotients tq_k = C_k * inv(Z_transition)
-    combination = sum_t (alpha_t + beta_t * x^shift_t) * term_t
+    combination = R + sum_t (alpha_t + beta_t * x^shift_t) * term_t
+      where R is the committed zero-knowledge randomizer codeword (a
+      uniformly random polynomial at FRI's degree bound, prove step 5b)
     FRI on the combination codeword (iop/fri.py)
 
   degree bookkeeping: terms are lifted to a common degree D-1
@@ -23,10 +25,14 @@ Montgomery limb kernels (ops/field_jnp.py), where zerofiers never vanish:
   the coset g*<omega> — disjoint from the trace domain since the full-order
   generator g lies in no power-of-two subgroup.
 
-  trace "randomizers": the trace is padded to the full power-of-two
-  omicron domain with pseudorandom rows (derived from a seed — pass fresh
-  entropy for zero-knowledge, a fixed seed for reproducible proofs); the
-  transition zerofier excludes padding rows explicitly.
+  zero-knowledge: the trace is padded to the full power-of-two omicron
+  domain with pseudorandom rows (blinding the opened boundary-quotient
+  leaves), and the FRI randomizer R blinds the combination leaves. Both
+  derive from randomizer_seed — fresh os.urandom entropy by default;
+  pass a fixed seed for the deterministic/reproducible mode. Without the
+  seed a transcript leaks nothing about the trace beyond the public
+  boundary: every opened leaf value is masked by one of the two
+  randomizer families, so Merkle leaf salting is unnecessary.
 
 The verifier replays the transcript: FRI verification plus pointwise
 reconstruction of trace values from opened boundary-quotient leaves at the
@@ -75,6 +81,7 @@ from stark_anatomy_tpu.utils.encoding import (
 )
 
 _RANDOMIZER_TAG = b"stark_anatomy_tpu/trace-randomizer/v1"
+_ZK_TAG = b"stark_anatomy_tpu/zk-fri-randomizer/v1"
 
 
 def _next_pow2(n: int) -> int:
@@ -457,7 +464,7 @@ class Stark:
         trace: np.ndarray,
         boundary: List[Tuple[int, int, int]],
         proof_stream: ProofStream | None = None,
-        randomizer_seed: bytes = b"",
+        randomizer_seed: bytes | None = None,
         checkpoint_dir: str | None = None,
     ) -> bytes:
         """Prove that `trace` satisfies the AIR + boundary. Returns bytes.
@@ -467,12 +474,21 @@ class Stark:
         native.rescue_chain_trace_bytes), which skips all per-element
         Python-int work.
         boundary: (cycle, register, value) triples, public.
-        randomizer_seed: entropy for the padding rows (fix it for
-        reproducible proofs; supply fresh randomness for zero-knowledge).
+        randomizer_seed: entropy for the zero-knowledge blinding — the
+        pseudorandom trace padding rows AND the FRI randomizer polynomial
+        folded into the combination. Default None draws fresh entropy
+        (os.urandom) per call, so two proofs of the same trace share no
+        bytes; pass a fixed seed for the documented DETERMINISTIC mode
+        (reproducible proofs, required for checkpoint resume across
+        process restarts — the seed is persisted in checkpoint metadata).
         checkpoint_dir: when set, the prover persists a phase checkpoint
         before FRI and resumes from it after a crash/restart
         (utils/checkpoint.py).
         """
+        if randomizer_seed is None:
+            import os
+
+            randomizer_seed = os.urandom(32)
         trace = np.asarray(trace) if not isinstance(trace, np.ndarray) else trace
         as_bytes = trace.dtype == np.uint8 and trace.ndim == 3
         ckpt_meta = None
@@ -491,8 +507,10 @@ class Stark:
                     for j in range(self.num_registers)
                 ]
                 bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
+                zk_standard = jnp.asarray(loaded["arrays"]["zk"])
+                zk_tree = self._commit_codewords([zk_standard])
                 return self._fri_and_open(
-                    ps, comb, bq_standard, bq_tree,
+                    ps, comb, bq_standard, bq_tree, zk_standard, zk_tree,
                     self.fri_domain_length, self.expansion_shift,
                 )
         t_len, w = trace.shape[:2]
@@ -533,23 +551,69 @@ class Stark:
             # Free the Montgomery forms: the combination step rebuilds them
             # with one multiply each, and 512MB per codeword matters here.
             bq.clear()
-            if self.mesh is not None:
-                from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
-
-                bq_tree = commit_sharded(bq_standard, self.mesh)
-            else:
-                bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
+            bq_tree = self._commit_codewords(bq_standard)
         ps.push({"bq_root": digest_to_item(bq_tree.root)})
+
+        # 5b. zero-knowledge FRI randomizer: a uniformly random polynomial
+        # of exactly the combination's degree bound, committed BEFORE the
+        # combination weights are squeezed from the transcript (so the
+        # weights bind it) and added to the combination with weight 1. It
+        # blinds the combination codeword: FRI leaf openings reveal values
+        # of randomizer + sum(...), which are uniform. Together with the
+        # pseudorandom trace padding rows (which blind the opened
+        # boundary-quotient leaves) this gives the zero-knowledge variant
+        # of the tutorial protocol; Merkle leaf salting is not needed on
+        # top because every opened leaf value is already blinded.
+        with phase("prove.zk-randomizer"):
+            zk_standard = self._zk_codeword(randomizer_seed)
+            zk_tree = self._commit_codewords([zk_standard])
+        ps.push({"zk_root": digest_to_item(zk_tree.root)})
         import os as _os
 
         if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))):
             # Start the D2H copies now; they overlap the transition phase
             # and materialize (freeing the HBM) before FRI.
             bq_tree.start_offload()
+            zk_tree.start_offload()
         return self._prove_rest(
-            ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
-            checkpoint_dir, ckpt_meta,
+            ps, boundary, bps, t_lde, bq_standard, bq_tree, zk_standard,
+            zk_tree, o, f, e, w, checkpoint_dir, ckpt_meta,
         )
+
+    def _commit_codewords(self, columns) -> MerkleTree:
+        """Merkle-commit standard-form codeword columns (mesh-aware)."""
+        if self.mesh is not None:
+            from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
+
+            return commit_sharded(columns, self.mesh)
+        return MerkleTree.commit(hash_felt_leaves(columns))
+
+    def _zk_codeword(self, seed: bytes) -> jnp.ndarray:
+        """(8, F) standard-form codeword of a seed-derived uniformly random
+        polynomial of degree <= degree_target (the FRI bound, so adding it
+        to the combination preserves FRI acceptance).
+
+        Coefficients: 256-bit draws from a Philox stream keyed by
+        sha256(tag || seed), reduced mod p on device (bias ~2^-128; the
+        Philox algorithm is fixed, so proofs are reproducible given the
+        seed on any backend). The 256->mod-p fold runs vectorized:
+        X = hi*2^128 + lo with hi, lo < 2^128 < 2p canonicalized by one
+        conditional subtract each (fj.add with zero).
+        """
+        import hashlib
+
+        f = self.fri_domain_length
+        n = self.degree_target + 1
+        key = int.from_bytes(hashlib.sha256(_ZK_TAG + seed).digest()[:16], "little")
+        rng = np.random.Generator(np.random.Philox(key=key))
+        raw = jnp.asarray(rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32))
+        z = fj.zeros((n,))
+        lo = fj.add(raw[:8], z)
+        hi = fj.add(raw[8:], z)
+        c128 = fj.full((n,), pow(2, 128, PRIME))
+        coeffs = fj.add(fj.mul(hi, c128), lo)
+        cw = nttmod.coset_evaluate(fj.to_mont(coeffs), f, self.offset)
+        return self._shard(fp.from_mont(cw))
 
     def _trace_lde(self, trace, as_bytes, o, w, _randomizer):
         t_len = trace.shape[0]
@@ -571,8 +635,8 @@ class Stark:
         return [self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)]
 
     def _prove_rest(
-        self, ps, boundary, bps, t_lde, bq_standard, bq_tree, o, f, e, w,
-        checkpoint_dir=None, ckpt_meta=None,
+        self, ps, boundary, bps, t_lde, bq_standard, bq_tree, zk_standard,
+        zk_tree, o, f, e, w, checkpoint_dir=None, ckpt_meta=None,
     ):
         # 6. combination weights from the transcript.
         n_terms = self.air.num_constraints + w
@@ -608,7 +672,8 @@ class Stark:
             degrees = [self.transition_quotient_degree] * self.air.num_constraints + [
                 o - 1 - len(bps[j]["roots"]) for j in range(w)
             ]
-            comb = fj.zeros((f,))
+            # Weight-1 zero-knowledge randomizer term (see prove step 5b).
+            comb = fp.to_mont(jnp.asarray(zk_standard))
             for t_idx, deg in enumerate(degrees):
                 term, terms[t_idx] = terms[t_idx], None
                 if isinstance(term, tuple):
@@ -636,7 +701,7 @@ class Stark:
             from stark_anatomy_tpu.utils import checkpoint as ckpt
 
             with phase("prove.checkpoint"):
-                arrays = {"comb": np.asarray(comb)}
+                arrays = {"comb": np.asarray(comb), "zk": np.asarray(zk_standard)}
                 for j in range(w):
                     arrays[f"bq{j}"] = np.asarray(bq_standard[j])
                 ckpt.save(
@@ -653,10 +718,14 @@ class Stark:
         if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))):
             with phase("prove.host-offload"):
                 bq_tree.offload_to_host()
+                zk_tree.offload_to_host()
                 bq_standard = [np.asarray(q) for q in bq_standard]
-        return self._fri_and_open(ps, comb, bq_standard, bq_tree, f, e)
+                zk_standard = np.asarray(zk_standard)
+        return self._fri_and_open(
+            ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e
+        )
 
-    def _fri_and_open(self, ps, comb, bq_standard, bq_tree, f, e):
+    def _fri_and_open(self, ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e):
         # 10. FRI on the combination.
         with phase("prove.fri"):
             top_indices = self.fri.prove(comb, ps)
@@ -702,6 +771,30 @@ class Stark:
                 ]
             }
         )
+
+        # 12. open the zk randomizer at the combination-check indices
+        # (FRI's top-level points: i and i + F/2 for each query).
+        from stark_anatomy_tpu.ops.limbs import limbs_to_int
+
+        zk_idx = sorted({i % f for i in top_indices} | {(i + f // 2) % f for i in top_indices})
+        zk_cols = gather_columns(zk_standard, zk_idx)
+        zk_tree._prefetch(zk_idx)
+        ps.push(
+            {
+                "zk_leaves": [
+                    [idx, felt_to_item(limbs_to_int(zk_cols[:, s]))]
+                    for s, idx in enumerate(zk_idx)
+                ]
+            }
+        )
+        ps.push(
+            {
+                "zk_paths": [
+                    [idx, [digest_to_item(d) for d in zk_tree.open(idx)]]
+                    for idx in zk_idx
+                ]
+            }
+        )
         return ps.serialize()
 
     # -- verifier ----------------------------------------------------------
@@ -721,6 +814,7 @@ class Stark:
         w = self.num_registers
 
         bq_root = item_to_digest(ps.pull()["bq_root"])
+        zk_root = item_to_digest(ps.pull()["zk_root"])
         n_terms = self.air.num_constraints + w
         weights = sample_weights(ps.verifier_fiat_shamir(), 2 * n_terms)
 
@@ -745,6 +839,23 @@ class Stark:
             if len(paths[idx]) != height:
                 return False
             if not verify_path(bq_root, hash_felts(vals), paths[idx], idx):
+                return False
+
+        # Zero-knowledge randomizer openings: one value per combination
+        # check index, path-verified against the committed zk root. The
+        # randomizer enters the combination with weight 1 (prove step 5b).
+        zk_leaves_item = ps.pull()["zk_leaves"]
+        zk_paths_item = ps.pull()["zk_paths"]
+        zk_vals: Dict[int, int] = {}
+        zk_paths: Dict[int, List[bytes]] = {}
+        for idx, val in zk_leaves_item:
+            zk_vals[int(idx)] = item_to_felt(val)
+        for idx, path in zk_paths_item:
+            zk_paths[int(idx)] = [item_to_digest(d) for d in path]
+        for idx, val in zk_vals.items():
+            if idx not in zk_paths or len(zk_paths[idx]) != height:
+                return False
+            if not verify_path(zk_root, hash_felts([val]), zk_paths[idx], idx):
                 return False
 
         bps = self._boundary_polys(boundary)
@@ -774,7 +885,7 @@ class Stark:
 
         for i, comb_val in top_points:
             i2 = (i + e) % f
-            if i not in bq_vals or i2 not in bq_vals:
+            if i not in bq_vals or i2 not in bq_vals or i not in zk_vals:
                 return False
             x = self.offset * pow(self.omega, i, PRIME) % PRIME
             x2 = self.offset * pow(self.omega, i2, PRIME) % PRIME
@@ -790,7 +901,7 @@ class Stark:
                 zt_inv = zt_inv * (x - rt) % PRIME
             zt_inv = zt_inv * finv((pow(x, o, PRIME) - 1) % PRIME) % PRIME
             terms = [c * zt_inv % PRIME for c in cons] + list(bq_vals[i])
-            combo = 0
+            combo = zk_vals[i]
             for t_idx, (term, deg) in enumerate(zip(terms, degrees)):
                 alpha, beta = weights[2 * t_idx], weights[2 * t_idx + 1]
                 shift = self.degree_target - deg

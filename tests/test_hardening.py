@@ -92,6 +92,7 @@ def test_fri_verify_returns_false_on_malformed_paths(proved):
         json.dumps(items, separators=(",", ":")).encode()
     )
     ps.pull()  # bq_root
+    ps.pull()  # zk_root
     ok, points = stark.fri.verify(ps)
     assert ok is False and points == []
 
@@ -101,8 +102,9 @@ def test_checkpoint_refuses_stale_trace_and_seed(tmp_path):
     d = str(tmp_path)
     tr1 = rp.trace(31)
     b1 = stark.air.boundary_constraints(rp.hash(31))
-    p1 = stark.prove(tr1, b1, checkpoint_dir=d)
-    assert stark.prove(tr1, b1, checkpoint_dir=d) == p1  # resume: identical
+    p1 = stark.prove(tr1, b1, randomizer_seed=b"pin", checkpoint_dir=d)
+    # resume: identical
+    assert stark.prove(tr1, b1, randomizer_seed=b"pin", checkpoint_dir=d) == p1
     # Different randomizer seed, same trace/boundary/shapes: the stale
     # snapshot must be refused and the fresh proof must still verify.
     p2 = stark.prove(tr1, b1, randomizer_seed=b"fresh", checkpoint_dir=d)

@@ -112,8 +112,8 @@ def test_full_prove_on_mesh_bit_identical(mesh8):
     trace = rp.trace(4242)
     boundary = air.boundary_constraints(rp.hash(4242))
     single = Stark(air, expansion_factor=4, num_colinearity_checks=2)
-    want = single.prove(trace, boundary)
+    want = single.prove(trace, boundary, randomizer_seed=b"mesh")
     sharded = Stark(air, expansion_factor=4, num_colinearity_checks=2, mesh=mesh8)
-    got = sharded.prove(trace, boundary)
+    got = sharded.prove(trace, boundary, randomizer_seed=b"mesh")
     assert got == want
     assert single.verify(got, boundary)

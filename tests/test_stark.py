@@ -17,7 +17,7 @@ def setup():
     trace = rp.trace(inp)
     output = rp.hash(inp)
     boundary = air.boundary_constraints(output)
-    proof = stark.prove(trace, boundary)
+    proof = stark.prove(trace, boundary, randomizer_seed=b"test-seed")
     return rp, air, stark, trace, output, boundary, proof
 
 
@@ -35,9 +35,25 @@ def test_honest_proof_verifies(setup):
     assert stark.verify(proof, boundary)
 
 
-def test_proof_is_deterministic(setup):
+def test_proof_is_deterministic_with_seed(setup):
+    # Deterministic mode: an explicit randomizer_seed pins every byte.
     rp, air, stark, trace, _, boundary, proof = setup
-    assert stark.prove(trace, boundary) == proof
+    assert stark.prove(trace, boundary, randomizer_seed=b"test-seed") == proof
+
+
+def test_zero_knowledge_blinding(setup):
+    # ZK surface: distinct seeds (and the fresh-entropy default) give
+    # proofs sharing no transcript randomness — different bytes — while
+    # all of them verify against the same public boundary.
+    rp, air, stark, trace, _, boundary, proof = setup
+    p_other = stark.prove(trace, boundary, randomizer_seed=b"other-seed")
+    assert p_other != proof
+    assert stark.verify(p_other, boundary)
+    p_fresh1 = stark.prove(trace, boundary)  # default: os.urandom entropy
+    p_fresh2 = stark.prove(trace, boundary)
+    assert p_fresh1 != p_fresh2
+    assert stark.verify(p_fresh1, boundary)
+    assert stark.verify(p_fresh2, boundary)
 
 
 def test_wrong_output_rejected(setup):
@@ -90,9 +106,9 @@ def test_bytes_trace_path_identical_proof():
     stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
     inp = 777
     boundary = air.boundary_constraints(rp.hash(inp))
-    p1 = stark.prove(rp.trace(inp), boundary)
+    p1 = stark.prove(rp.trace(inp), boundary, randomizer_seed=b"s")
     stark2 = Stark(air, expansion_factor=4, num_colinearity_checks=2)
-    p2 = stark2.prove(rp.trace_bytes(inp), boundary)
+    p2 = stark2.prove(rp.trace_bytes(inp), boundary, randomizer_seed=b"s")
     assert p1 == p2
     assert stark.verify(p2, boundary)
     # periodic columns tile into constant_columns
@@ -129,10 +145,10 @@ def test_checkpoint_resume(tmp_path):
     inp = 31337
     boundary = air.boundary_constraints(rp.hash(inp))
     trace = rp.trace(inp)
-    p1 = stark.prove(trace, boundary, checkpoint_dir=str(tmp_path))
+    p1 = stark.prove(trace, boundary, randomizer_seed=b"ck", checkpoint_dir=str(tmp_path))
     telemetry.reset()
     stark2 = Stark(air, expansion_factor=4, num_colinearity_checks=2)
-    p2 = stark2.prove(trace, boundary, checkpoint_dir=str(tmp_path))
+    p2 = stark2.prove(trace, boundary, randomizer_seed=b"ck", checkpoint_dir=str(tmp_path))
     assert p2 == p1
     # The resumed run must have skipped the pre-FRI phases entirely.
     phases = telemetry.report()
@@ -140,7 +156,10 @@ def test_checkpoint_resume(tmp_path):
     assert "prove.trace-lde" not in phases
     # A mismatched boundary must NOT resume from the stale checkpoint.
     other_boundary = air.boundary_constraints((rp.hash(inp) + 1) % PRIME)
-    p3 = stark2.prove(rp.trace(inp), other_boundary, checkpoint_dir=str(tmp_path))
+    p3 = stark2.prove(
+        rp.trace(inp), other_boundary, randomizer_seed=b"ck",
+        checkpoint_dir=str(tmp_path),
+    )
     assert not stark2.verify(p3, boundary)
 
 
@@ -152,9 +171,9 @@ def test_offload_path_identical_proof(monkeypatch):
     stark = Stark(air, expansion_factor=4, num_colinearity_checks=2)
     inp = 5150
     boundary = air.boundary_constraints(rp.hash(inp))
-    offloaded = stark.prove(rp.trace(inp), boundary)
+    offloaded = stark.prove(rp.trace(inp), boundary, randomizer_seed=b"o")
     monkeypatch.delenv("STARK_ANATOMY_OFFLOAD_N")
     stark2 = Stark(air, expansion_factor=4, num_colinearity_checks=2)
-    resident = stark2.prove(rp.trace(inp), boundary)
+    resident = stark2.prove(rp.trace(inp), boundary, randomizer_seed=b"o")
     assert offloaded == resident
     assert stark.verify(offloaded, boundary)
