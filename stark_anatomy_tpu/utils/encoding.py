@@ -11,6 +11,19 @@ part of the proof format and must never change:
   concatenated 16-byte encodings;
 - proof items carry field elements as decimal strings, digests as lowercase
   hex strings (JSON-safe; see iop/proof_stream.py).
+
+Intentional divergence from the reference's serde encodings: the reference
+serializes a [u8;64] MerkleHash as a JSON array of 64 integers via
+serde-big-array (/root/reference/src/iop/types/merkle.rs:9-13) and field
+elements through serde's derived I320 representation. This framework's
+items are ~2.4x smaller for digests and canonical-by-construction (the
+strict decoders below reject every non-canonical re-encoding, closing the
+Fiat-Shamir malleability surface an int-array or sign-carrying encoding
+would re-open). Byte compatibility with the reference is pinned where the
+reference defines bytes — the ProofStream serialization grammar and its
+Fiat-Shamir digests (tests/test_proof_stream.py golden vectors); the full
+proof grammar of THIS framework is pinned by tests/golden/ +
+tests/test_golden_proof.py.
 """
 
 from __future__ import annotations
