@@ -167,14 +167,30 @@ class Fri:
 
     # -- prover ------------------------------------------------------------
 
-    def prove(self, codeword_mont: jnp.ndarray, proof_stream: ProofStream) -> List[int]:
+    def prove(
+        self,
+        codeword_mont: jnp.ndarray,
+        proof_stream: ProofStream,
+        checkpoint_dir: str | None = None,
+        checkpoint_meta: dict | None = None,
+    ) -> List[int]:
         """Commit + query phases. Returns the top-level query indices.
 
         codeword_mont: (8, domain_length) Montgomery-form limb array of the
         codeword to be proven close to degree < domain_length/expansion.
+
+        checkpoint_dir/checkpoint_meta: when set, each committed round's
+        canonical codeword is snapshotted (utils/checkpoint.py, stage
+        "fri-r{r}"); a rerun with the same meta replays the completed
+        rounds from disk — trees are re-hashed from the stored codewords
+        (commitment is deterministic), so resume skips every completed
+        fold and produces byte-identical transcripts. FRI+query is the
+        longest prover phase at production sizes; without this a crash
+        mid-FRI lost everything since the pre-FRI snapshot.
         """
         if codeword_mont.shape[-1] != self.domain_length:
             raise ValueError("codeword length != configured domain length")
+        checkpoint_meta = checkpoint_meta or {}
         rounds = self.num_rounds
         omega, offset = self.omega, self.offset
 
@@ -188,11 +204,50 @@ class Fri:
         codewords_dev: List = []  # canonical-form limb codewords
         trees: List[MerkleTree] = []
         codeword = codeword_mont
+        resume_from = 0
+        if checkpoint_dir is not None:
+            from stark_anatomy_tpu.utils import checkpoint as ckpt
+
+            # Replay the longest consecutive prefix of snapshotted rounds:
+            # re-commit each stored codeword (deterministic => identical
+            # roots/transcript), re-derive the fold challenges, and leave
+            # `codeword` as the fold of the last replayed round so the live
+            # loop continues seamlessly at r = resume_from.
+            snaps: List[np.ndarray] = []
+            for r in range(rounds):
+                snap = ckpt.load(checkpoint_dir, f"fri-r{r}", checkpoint_meta)
+                if snap is None:
+                    break
+                snaps.append(snap["arrays"]["codeword"])
+            resume_from = len(snaps)
+            for r, arr in enumerate(snaps):
+                standard = jnp.asarray(arr)
+                tree = self._commit_one(standard)
+                codewords_dev.append(standard)
+                trees.append(tree)
+                proof_stream.push({"fri_root": digest_to_item(tree.root)})
+                if r == rounds - 1:
+                    break
+                alpha = sample_field_element(proof_stream.prover_fiat_shamir())
+                if r == len(snaps) - 1:
+                    # Last snapshotted round: fold it so the live loop can
+                    # continue; earlier folds are skipped entirely (their
+                    # results are the later snapshots).
+                    codeword = fold(fp.to_mont(standard), alpha, offset, omega)
+                omega = omega * omega % PRIME
+                offset = offset * offset % PRIME
         pending = None  # (round, tree, standard) whose D2H copies are in flight
-        for r in range(rounds):
+        for r in range(resume_from, rounds):
             codeword = self._reshard(codeword)
             standard = fp.from_mont(codeword)
             tree = self._commit_one(standard)
+            if checkpoint_dir is not None:
+                from stark_anatomy_tpu.utils import checkpoint as ckpt
+
+                ckpt.save(
+                    checkpoint_dir, f"fri-r{r}", [],
+                    {"codeword": np.asarray(standard)}, checkpoint_meta,
+                )
             if standard.shape[-1] >= offload_threshold:
                 # Kick the copies off now; materialize (and free the HBM)
                 # after the NEXT round's fold+commit has been dispatched so

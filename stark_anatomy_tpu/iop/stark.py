@@ -512,6 +512,7 @@ class Stark:
                 return self._fri_and_open(
                     ps, comb, bq_standard, bq_tree, zk_standard, zk_tree,
                     self.fri_domain_length, self.expansion_shift,
+                    checkpoint_dir, ckpt_meta,
                 )
         t_len, w = trace.shape[:2]
         if t_len != self.trace_length or w != self.num_registers:
@@ -722,13 +723,19 @@ class Stark:
                 bq_standard = [np.asarray(q) for q in bq_standard]
                 zk_standard = np.asarray(zk_standard)
         return self._fri_and_open(
-            ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e
+            ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e,
+            checkpoint_dir, ckpt_meta,
         )
 
-    def _fri_and_open(self, ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e):
-        # 10. FRI on the combination.
+    def _fri_and_open(
+        self, ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e,
+        checkpoint_dir=None, ckpt_meta=None,
+    ):
+        # 10. FRI on the combination (per-round snapshots when checkpointing).
         with phase("prove.fri"):
-            top_indices = self.fri.prove(comb, ps)
+            top_indices = self.fri.prove(
+                comb, ps, checkpoint_dir=checkpoint_dir, checkpoint_meta=ckpt_meta
+            )
 
         # 11. open the boundary-quotient rows the verifier will need.
         need = set()

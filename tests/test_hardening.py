@@ -110,3 +110,47 @@ def test_checkpoint_refuses_stale_trace_and_seed(tmp_path):
     p2 = stark.prove(tr1, b1, randomizer_seed=b"fresh", checkpoint_dir=d)
     assert p2 != p1
     assert stark.verify(p2, b1)
+
+
+def test_mid_fri_kill_resume(tmp_path, monkeypatch):
+    # A crash mid-FRI must resume from the per-round snapshots: completed
+    # folds are skipped and the resumed proof is byte-identical to an
+    # uninterrupted run.
+    import stark_anatomy_tpu.iop.fri as frimod
+
+    rp, stark = _small_stark()
+    inp = 4711
+    b = stark.air.boundary_constraints(rp.hash(inp))
+    tr = rp.trace(inp)
+    p_ref = stark.prove(tr, b, randomizer_seed=b"kr")  # no checkpointing
+
+    real_fold = frimod.fold
+    calls = {"n": 0}
+
+    def crashing_fold(*a, **k):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated crash mid-FRI")
+        return real_fold(*a, **k)
+
+    monkeypatch.setattr(frimod, "fold", crashing_fold)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        stark.prove(tr, b, randomizer_seed=b"kr", checkpoint_dir=str(tmp_path))
+    # The committed rounds before the crash were snapshotted.
+    assert (tmp_path / "stark-fri-r0.npz").exists()
+    assert (tmp_path / "stark-fri-r2.npz").exists()
+
+    resumed = {"n": 0}
+
+    def counting_fold(*a, **k):
+        resumed["n"] += 1
+        return real_fold(*a, **k)
+
+    monkeypatch.setattr(frimod, "fold", counting_fold)
+    p2 = stark.prove(tr, b, randomizer_seed=b"kr", checkpoint_dir=str(tmp_path))
+    assert p2 == p_ref
+    assert stark.verify(p2, b)
+    # Rounds 0..2 replayed from disk: exactly one catch-up fold (of the
+    # last snapshot) plus the live folds for the remaining rounds.
+    rounds = stark.fri.num_rounds
+    assert resumed["n"] == rounds - 3
