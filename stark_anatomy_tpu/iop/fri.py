@@ -28,10 +28,11 @@ from dataclasses import dataclass
 from functools import lru_cache
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
+from stark_anatomy_tpu.iop.merkle import MerkleTree, verify_path
 from stark_anatomy_tpu.iop.proof_stream import ProofStream, ProofStreamError
 from stark_anatomy_tpu.ops import field_pallas as fp
 from stark_anatomy_tpu.ops import ntt as nttmod
@@ -70,6 +71,19 @@ def _inv_domain_mont(offset: int, omega: int, half: int) -> jnp.ndarray:
     return fp.mont_mul(tab, _const_mont(finv(offset), half))
 
 
+@jax.jit
+def _fold_jit(cw: jnp.ndarray, alpha_m: jnp.ndarray, inv_dom: jnp.ndarray) -> jnp.ndarray:
+    """Fold math as ONE dispatch (op-for-op the eager sequence, so values
+    are bit-identical; fusing matters because each eager fp call is a
+    separate round trip over a remote-device link)."""
+    half = cw.shape[-1] // 2
+    lo, hi = cw[:, :half], cw[:, half:]
+    au = fp.mont_mul(jnp.broadcast_to(alpha_m.reshape(8, 1), (8, half)), inv_dom)
+    one = _const_mont(1, half)
+    t = fp.add(fp.mont_mul(fp.add(one, au), lo), fp.mont_mul(fp.sub(one, au), hi))
+    return fp.mont_mul(_const_mont(finv(2), half), t)
+
+
 def fold(codeword_mont: jnp.ndarray, alpha: int, offset: int, omega: int) -> jnp.ndarray:
     """One FRI fold on device. codeword: (8, n) Montgomery form.
 
@@ -78,11 +92,10 @@ def fold(codeword_mont: jnp.ndarray, alpha: int, offset: int, omega: int) -> jnp
     """
     n = codeword_mont.shape[-1]
     half = n // 2
-    lo, hi = codeword_mont[:, :half], codeword_mont[:, half:]
-    au = fp.mont_mul(_const_mont(alpha, half), _inv_domain_mont(offset, omega, half))
-    one = _const_mont(1, half)
-    t = fp.add(fp.mont_mul(fp.add(one, au), lo), fp.mont_mul(fp.sub(one, au), hi))
-    return fp.mont_mul(_const_mont(finv(2), half), t)
+    alpha_m = jnp.asarray(int_to_limbs(alpha * R_MOD_P % PRIME), dtype=jnp.uint32)
+    return _fold_jit(
+        codeword_mont, alpha_m, jnp.asarray(_inv_domain_mont(offset, omega, half))
+    )
 
 
 def gather_columns(arr, idx_list: List[int]) -> np.ndarray:
@@ -198,7 +211,7 @@ class Fri:
         # immediately: the usable HBM on one chip cannot hold every round's
         # codeword + tree at production sizes.
         offload_threshold = int(
-            __import__("os").environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))
+            __import__("os").environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 25))
         )
 
         codewords_dev: List = []  # canonical-form limb codewords
@@ -261,6 +274,7 @@ class Fri:
                     pr, ptree, pstd = pending
                     ptree.offload_to_host()
                     codewords_dev[pr] = np.asarray(pstd)
+                    ptree.replace_leaf_columns([codewords_dev[pr]])
                 pending = (r, tree, standard)
             # Codewords stay resident (device below the offload threshold);
             # ints are extracted only at the handful of queried indices.
@@ -277,6 +291,7 @@ class Fri:
             pr, ptree, pstd = pending
             ptree.offload_to_host()
             codewords_dev[pr] = np.asarray(pstd)
+            ptree.replace_leaf_columns([codewords_dev[pr]])
 
         last_values = limbs_to_ints(np.asarray(codewords_dev[-1]))
         proof_stream.push(
@@ -290,13 +305,52 @@ class Fri:
             self.domain_length >> rounds,
             self.num_colinearity_tests,
         )
+        # Two passes: dispatch EVERY gather (codeword columns + Merkle path
+        # rows for all rounds) asynchronously, transfer them in one
+        # jax.device_get wave, then assemble the transcript from host data.
+        # The naive per-round/per-level fetches were ~40 serialized round
+        # trips per round — the dominant FRI cost over a remote link.
         indices = list(top_indices)
+        wave: List = []
+        pending: List[dict] = []
         for r in range(rounds - 1):
             n = self.domain_length >> r
             indices = [i % (n // 2) for i in indices]
-            self._query_round(
-                codewords_dev[r], trees[r], codewords_dev[r + 1], trees[r + 1],
-                indices, proof_stream,
+            a_idx = list(indices)
+            b_idx = [i + n // 2 for i in indices]
+            entry: dict = {"r": r, "a_idx": a_idx, "half": n // 2}
+            cur, nxt = codewords_dev[r], codewords_dev[r + 1]
+            if isinstance(cur, np.ndarray):
+                entry["cur_cols"] = cur[:, a_idx + b_idx]
+            else:
+                entry["cur_slot"] = len(wave)
+                wave.append(jnp.take(cur, jnp.asarray(a_idx + b_idx), axis=1))
+            if isinstance(nxt, np.ndarray):
+                entry["nxt_cols"] = nxt[:, a_idx]
+            else:
+                entry["nxt_slot"] = len(wave)
+                wave.append(jnp.take(nxt, jnp.asarray(a_idx), axis=1))
+            d1, f1 = trees[r]._prefetch_plan(a_idx + b_idx)
+            d2, f2 = trees[r + 1]._prefetch_plan(a_idx)
+            entry["tree_base"] = len(wave)
+            entry["tree_counts"] = (len(d1), len(d2))
+            entry["fills"] = (f1, f2)
+            wave.extend(d1)
+            wave.extend(d2)
+            pending.append(entry)
+        fetched = jax.device_get(wave) if wave else []
+        for entry in pending:
+            if "cur_slot" in entry:
+                entry["cur_cols"] = np.asarray(fetched[entry["cur_slot"]])
+            if "nxt_slot" in entry:
+                entry["nxt_cols"] = np.asarray(fetched[entry["nxt_slot"]])
+            base = entry["tree_base"]
+            n1, n2 = entry["tree_counts"]
+            f1, f2 = entry["fills"]
+            f1(fetched[base : base + n1])
+            f2(fetched[base + n1 : base + n1 + n2])
+            self._emit_query_round(
+                trees[entry["r"]], trees[entry["r"] + 1], entry, proof_stream
             )
         return top_indices
 
@@ -323,19 +377,19 @@ class Fri:
             from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
 
             return commit_sharded([standard], self.mesh)
-        return MerkleTree.commit(hash_felt_leaves([standard]))
+        from stark_anatomy_tpu.iop.merkle import commit_columns_fused
 
-    def _query_round(self, current, current_tree, nxt, next_tree, indices, proof_stream):
+        return commit_columns_fused([standard])
+
+    def _emit_query_round(self, current_tree, next_tree, entry, proof_stream):
+        """Assemble one query round's transcript items from prefetched
+        host data (entry comes from the prove() gather wave)."""
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
 
-        half = current.shape[-1] // 2
-        # One batched gather per codeword.
-        a_idx = list(indices)
-        b_idx = [i + half for i in indices]
-        cur_cols = gather_columns(current, a_idx + b_idx)
-        nxt_cols = gather_columns(nxt, a_idx)
-        current_tree._prefetch(a_idx + b_idx)
-        next_tree._prefetch(a_idx)
+        indices = entry["a_idx"]
+        half = entry["half"]
+        cur_cols = entry["cur_cols"]
+        nxt_cols = entry["nxt_cols"]
         points = []
         paths = []
         for s, i in enumerate(indices):

@@ -25,8 +25,10 @@ Design departures (same roots, same paths, same verify behavior):
 from __future__ import annotations
 
 import hashlib
+from functools import partial
 from typing import List, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -64,6 +66,113 @@ def limbs_to_leaf_words(columns: Sequence) -> jnp.ndarray:
 _HASH_CHUNK = 1 << 21  # leaves per dispatch: bounds Blake2b transients to ~1GB
 
 
+def _hash_leaves_traced(columns: Sequence, msg_len: int) -> jnp.ndarray:
+    """hash_felt_leaves body, safe to call inside a jit trace.
+
+    Large batches hash through ``lax.map`` over fixed-size chunks — one
+    sequential XLA loop instead of eager per-chunk dispatches + syncs, with
+    the same bounded transient footprint (chunk boundaries cannot change
+    per-leaf digests). Identical bytes to the eager path.
+    """
+    n = int(columns[0].shape[-1])
+    if n <= _HASH_CHUNK:
+        msg = limbs_to_leaf_words(columns)
+        return blake2b_u32(msg, msg_len=msg_len)
+    k = n // _HASH_CHUNK
+    stacked = jnp.stack([jnp.asarray(c) for c in columns])  # (w, 8, n)
+    chunks = stacked.reshape(len(columns), NUM_LIMBS, k, _HASH_CHUNK).transpose(
+        2, 0, 1, 3
+    )  # (k, w, 8, chunk)
+
+    def _one(ch):
+        return blake2b_u32(limbs_to_leaf_words(list(ch)), msg_len=msg_len)
+
+    return jax.lax.map(_one, chunks).reshape(n, 16)
+
+
+def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = True):
+    """(all device levels as a tuple, first small level for the host tail).
+
+    Trace-safe: leaf hashing + every device-side tree level in one traced
+    computation. Level layout matches MerkleTree.commit exactly. With
+    store_leaves=False the leaf-digest level is omitted from the outputs
+    (XLA frees it after the first reduction) — at 2^24 leaves that level
+    alone is 1 GB of HBM, and opens can recompute the handful of digests
+    they need from the committed codeword columns instead.
+    """
+    leaves = _hash_leaves_traced(columns, msg_len)
+    levels = []
+    cur = leaves
+    first = True
+    while int(cur.shape[0]) > 2 * _DEVICE_MIN_BATCH:
+        if store_leaves or not first:
+            levels.append(cur)
+        first = False
+        c = cur.reshape(-1, 2, 16)
+        cur = merkle_node_hash(c[:, 0, :], c[:, 1, :])
+    return tuple(levels), cur
+
+
+@partial(jax.jit, static_argnames=("msg_len", "store_leaves"))
+def _commit_levels_jit(columns, msg_len: int, store_leaves: bool):
+    return _commit_levels_traced(columns, msg_len, store_leaves)
+
+
+#: leaf counts >= this commit without storing the leaf-digest level.
+_DROP_LEAVES_MIN = 1 << 22
+
+
+def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) -> "MerkleTree":
+    """Merkle-commit standard-form codeword columns in ONE device dispatch.
+
+    Bit-identical tree to ``MerkleTree.commit(hash_felt_leaves(columns))``
+    (asserted by the golden-proof tests) but the leaf hashing and every
+    device level launch as a single jitted computation — over a
+    remote-device link the eager path's ~log(n) dispatches plus chunk
+    syncs dominate commit latency. The small top finishes on host
+    hashlib, as in MerkleTree.commit.
+
+    Above _DROP_LEAVES_MIN leaves the leaf-digest level is not stored
+    (opens recompute leaf digests from `columns`, which the prover keeps
+    around anyway) — this halves tree HBM at production sizes, which is
+    what lets a 2^24-domain prove run fully device-resident.
+    """
+    msg_len = 16 * len(columns)
+    n = int(columns[0].shape[-1])
+    if store_leaves is None:
+        store_leaves = n < _DROP_LEAVES_MIN
+    import os
+
+    if n < int(os.environ.get("STARK_ANATOMY_FUSE_MIN", str(1 << 16))):
+        # Small trees: the eager per-level path — its per-level jits are
+        # SHARED across every tree with a level of that size, where the
+        # one-graph-per-tree-shape fused path would compile a fresh ~50k-op
+        # XLA graph for every FRI round (minutes of CPU compile in the
+        # test/virtual-mesh environments for zero dispatch-latency benefit
+        # at these sizes).
+        tree = MerkleTree.commit(hash_felt_leaves(columns))
+        if not store_leaves:
+            cols = [jnp.asarray(c) for c in columns]
+            tree.levels[0] = None
+            tree.leaf_columns = cols
+        return tree
+    cols = [jnp.asarray(c) for c in columns]
+    levels_dev, top = _commit_levels_jit(tuple(cols), msg_len, store_leaves)
+    levels: List = ([None] if not store_leaves else []) + list(levels_dev)
+    cur = np.asarray(top, dtype="<u4")
+    while cur.shape[0] > 1:
+        levels.append(cur)
+        nxt = np.empty((cur.shape[0] // 2, 16), dtype="<u4")
+        for i in range(nxt.shape[0]):
+            d = hashlib.blake2b(
+                cur[2 * i].tobytes() + cur[2 * i + 1].tobytes(), digest_size=64
+            ).digest()
+            nxt[i] = np.frombuffer(d, dtype="<u4")
+        cur = nxt
+    levels.append(cur)
+    return MerkleTree(levels, leaf_columns=None if store_leaves else cols)
+
+
 def hash_felt_leaves(columns: Sequence) -> jnp.ndarray:
     """Leaf digests for rows of field elements: (n, 16) uint32.
 
@@ -96,9 +205,23 @@ class MerkleTree:
     gathers the requested rows in one dispatch per level and caches them.
     """
 
-    def __init__(self, levels: List):
+    def __init__(self, levels: List, leaf_columns: List | None = None):
+        """levels[0] may be None when leaf_columns is given: opens then
+        recompute leaf digests from the codeword columns (host hashing of
+        the gathered rows — byte-identical to the device hasher, pinned in
+        tests/test_blake2b.py) instead of reading a stored 64-byte digest
+        per leaf. The caller owns keeping `leaf_columns` alive/offloaded;
+        use replace_leaf_columns after moving codewords to host."""
         self.levels = levels
+        self.leaf_columns = leaf_columns
+        if levels[0] is None and leaf_columns is None:
+            raise ValueError("dropped leaf level requires leaf_columns")
         self._fetch_cache: dict = {}
+
+    def replace_leaf_columns(self, columns: List) -> None:
+        """Repoint leaf recomputation at (e.g. host-offloaded) columns."""
+        if self.levels[0] is None:
+            self.leaf_columns = columns
 
     @classmethod
     def commit(cls, leaves, device: bool = True) -> "MerkleTree":
@@ -153,14 +276,38 @@ class MerkleTree:
 
     @property
     def num_leaves(self) -> int:
+        if self.levels[0] is None:
+            return 2 * int(self.levels[1].shape[0])
         return int(self.levels[0].shape[0])
+
+    def _leaf_digests(self, indices: List[int]) -> List[bytes]:
+        """Recompute leaf digests from the codeword columns (dropped-leaf
+        trees): one batched gather per column, then host hashing — the
+        same canonical-encoding leaf rule as hash_felt_leaves."""
+        from stark_anatomy_tpu.ops.limbs import limbs_to_int
+
+        cols = []
+        for col in self.leaf_columns:
+            if isinstance(col, np.ndarray):
+                cols.append(col[:, indices])
+            else:
+                cols.append(np.asarray(jnp.take(col, jnp.asarray(indices), axis=1)))
+        out = []
+        for pos in range(len(indices)):
+            msg = b"".join(
+                limbs_to_int(c[:, pos]).to_bytes(16, "little") for c in cols
+            )
+            out.append(hashlib.blake2b(msg, digest_size=64).digest())
+        return out
 
     def _fetch(self, level: int, index: int) -> bytes:
         """Digest levels[level][index] as host bytes (batched-gather cache)."""
         key = (level, index)
         if key not in self._fetch_cache:
             arr = self.levels[level]
-            if isinstance(arr, np.ndarray):
+            if arr is None:
+                self._fetch_cache[key] = self._leaf_digests([index])[0]
+            elif isinstance(arr, np.ndarray):
                 self._fetch_cache[key] = np.ascontiguousarray(
                     arr[index], dtype="<u4"
                 ).tobytes()
@@ -169,19 +316,46 @@ class MerkleTree:
                 self._fetch_cache[key] = row.tobytes()
         return self._fetch_cache[key]
 
-    def _prefetch(self, leaf_indices: Sequence[int]) -> None:
-        """Gather every path row the given leaf opens need — one device
-        gather + one transfer per level instead of one per digest."""
+    def _prefetch_plan(self, leaf_indices: Sequence[int]):
+        """(device_arrays, fill) for the path rows the given opens need.
+
+        Dispatches one async device gather per level and returns the
+        un-fetched device arrays plus a `fill(host_rows_list)` that
+        populates the digest cache once the caller has transferred them.
+        Callers batch the transfers of MANY trees into one
+        jax.device_get wave (prefetch_many) — over a remote-device link
+        the per-fetch round trip, not the bytes, dominates the FRI query
+        phase."""
+        keys = []
+        devs = []
         for level, arr in enumerate(self.levels[:-1]):
-            if isinstance(arr, np.ndarray):
-                continue
             need = sorted({(i >> level) ^ 1 for i in leaf_indices})
             need = [i for i in need if (level, i) not in self._fetch_cache]
             if not need:
                 continue
-            rows = np.asarray(jnp.asarray(arr)[jnp.asarray(need)]).astype("<u4")
-            for pos, i in enumerate(need):
-                self._fetch_cache[(level, i)] = rows[pos].tobytes()
+            if arr is None:
+                for i, d in zip(need, self._leaf_digests(need)):
+                    self._fetch_cache[(level, i)] = d
+                continue
+            if isinstance(arr, np.ndarray):
+                continue
+            keys.append((level, need))
+            devs.append(jnp.asarray(arr)[jnp.asarray(need)])
+
+        def fill(host_rows) -> None:
+            for (level, need), rows in zip(keys, host_rows):
+                rows = np.asarray(rows).astype("<u4")
+                for pos, i in enumerate(need):
+                    self._fetch_cache[(level, i)] = rows[pos].tobytes()
+
+        return devs, fill
+
+    def _prefetch(self, leaf_indices: Sequence[int]) -> None:
+        """Gather every path row the given leaf opens need — one device
+        gather per level, one batched transfer wave."""
+        devs, fill = self._prefetch_plan(leaf_indices)
+        if devs:
+            fill(jax.device_get(devs))
 
     @property
     def root(self) -> bytes:
@@ -211,7 +385,7 @@ class MerkleTree:
     def start_offload(self) -> None:
         """Begin async device->host copies of every level (non-blocking)."""
         for lv in self.levels:
-            if not isinstance(lv, np.ndarray):
+            if lv is not None and not isinstance(lv, np.ndarray):
                 try:
                     lv.copy_to_host_async()
                 except AttributeError:  # pragma: no cover - older jax
@@ -226,7 +400,7 @@ class MerkleTree:
         to overlap the copies with other device work.
         """
         self.levels = [
-            lv if isinstance(lv, np.ndarray) else np.asarray(lv)
+            lv if lv is None or isinstance(lv, np.ndarray) else np.asarray(lv)
             for lv in self.levels
         ]
 

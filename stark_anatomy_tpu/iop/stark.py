@@ -43,13 +43,15 @@ combination-value equality check at every queried index.
 from __future__ import annotations
 
 from dataclasses import dataclass, field as dc_field
+from functools import partial
 from typing import Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from stark_anatomy_tpu.iop.fri import Fri
-from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves, verify_path
+from stark_anatomy_tpu.iop.merkle import MerkleTree, verify_path
 from stark_anatomy_tpu.iop.proof_stream import ProofStream, ProofStreamError
 from stark_anatomy_tpu.ops import field_jnp as fj
 from stark_anatomy_tpu.ops import field_pallas as fp
@@ -82,6 +84,22 @@ from stark_anatomy_tpu.utils.encoding import (
 
 _RANDOMIZER_TAG = b"stark_anatomy_tpu/trace-randomizer/v1"
 _ZK_TAG = b"stark_anatomy_tpu/zk-fri-randomizer/v1"
+
+
+def _fuse_enabled(f: int) -> bool:
+    """Whether the prover uses the fused phase mega-jits at FRI domain F.
+
+    Fused phases collapse each prover phase into one dispatch — the win
+    that makes large proves dispatch-latency-free over a remote-device
+    link — but their XLA graphs take tens of seconds to compile per
+    shape, which would dominate the (CPU-backend, many tiny shapes) test
+    suite. Small domains therefore keep the eager per-op path; both paths
+    are bit-identical (exact field math, same op order — pinned by the
+    golden-proof tests and test_stark fused/eager equality).
+    """
+    import os
+
+    return f >= int(os.environ.get("STARK_ANATOMY_FUSE_MIN", str(1 << 16)))
 
 
 def _next_pow2(n: int) -> int:
@@ -117,6 +135,106 @@ def _lagrange_coeffs(points: List[Tuple[int, int]]) -> List[int]:
         for d, c in enumerate(basis):
             coeffs[d] = (coeffs[d] + scale * c) % PRIME
     return coeffs
+
+
+def _excluded_prod(x_cw: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
+    """prod_r (x - root_r) over the excluded-row roots, one lax.scan."""
+    f = x_cw.shape[-1]
+
+    def step(prod, root):
+        term = fp.sub(x_cw, jnp.broadcast_to(root.reshape(8, 1), (8, f)))
+        return fp.mont_mul(prod, term), None
+
+    prod, _ = jax.lax.scan(step, _const_mont(1, f), roots)
+    return prod
+
+
+@partial(jax.jit, static_argnames=("bps_shape",))
+def _boundary_phase_jit(
+    t_lde,
+    x_cw: jnp.ndarray,
+    xo_cw: jnp.ndarray,
+    excl_roots: jnp.ndarray,
+    interp_mont: jnp.ndarray,
+    root_monts: jnp.ndarray,
+    bps_shape: tuple,
+):
+    """Whole boundary phase + transition-zerofier inverse, ONE dispatch.
+
+    t_lde: tuple of w (8, F) Montgomery trace-LDE codewords.
+    interp_mont: (w, D, 8) Montgomery interpolant coeffs (zero-padded).
+    root_monts: (w, R, 8) Montgomery zerofier roots (padding ignored).
+    bps_shape: per-register (num_coeffs, num_roots) — static structure.
+    excl_roots: (k, 8) Montgomery omicron^r for the excluded rows.
+
+    Returns (bq_standard tuple, zt_inv). Values are bit-identical to the
+    eager per-register path: field math is exact, so evaluation order and
+    the batched inversion (Montgomery's trick — inverses are unique)
+    cannot change any output element. Requires every zerofier to be
+    nonvanishing on the FRI coset (guaranteed: trace and FRI domains are
+    disjoint cosets) — batch inversion has no 0 -> 0 convention.
+    """
+    w = len(t_lde)
+    f = x_cw.shape[-1]
+    one = _const_mont(1, f)
+
+    # Interpolant + zerofier codewords per register.
+    b_cws = []
+    zs = []
+    for j in range(w):
+        ncoef, nroots = bps_shape[j]
+        acc = jnp.broadcast_to(interp_mont[j, 0].reshape(8, 1), (8, f))
+        xp = x_cw
+        for d in range(1, ncoef):
+            c = jnp.broadcast_to(interp_mont[j, d].reshape(8, 1), (8, f))
+            acc = fp.add(acc, fp.mont_mul(c, xp))
+            if d + 1 < ncoef:
+                xp = fp.mont_mul(xp, x_cw)
+        b_cws.append(acc)
+        z = one
+        for r in range(nroots):
+            root = jnp.broadcast_to(root_monts[j, r].reshape(8, 1), (8, f))
+            z = fp.mont_mul(z, fp.sub(x_cw, root))
+        zs.append(z)
+
+    # One batched inversion for all w boundary zerofiers plus the
+    # transition-zerofier denominator (x^O - 1).
+    denom = fp.sub(xo_cw, one)
+    items = zs + [denom]
+    prefix = [items[0]]
+    for it in items[1:]:
+        prefix.append(fp.mont_mul(prefix[-1], it))
+    inv_run = fp.inv(prefix[-1])
+    invs = [None] * len(items)
+    for i in range(len(items) - 1, 0, -1):
+        invs[i] = fp.mont_mul(inv_run, prefix[i - 1])
+        inv_run = fp.mont_mul(inv_run, items[i])
+    invs[0] = inv_run
+
+    bq_std = tuple(
+        fp.from_mont(fp.mont_mul(fp.sub(t_lde[j], b_cws[j]), invs[j]))
+        for j in range(w)
+    )
+    zt_inv = fp.mont_mul(_excluded_prod(x_cw, excl_roots), invs[w])
+    return bq_std, zt_inv
+
+
+@jax.jit
+def _zt_inv_jit(x_cw: jnp.ndarray, xo_cw: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
+    """prod_r (x - root_r) * inv(x^O - 1) as one dispatch.
+
+    Op-for-op the eager sequence (ascending r, then the denominator
+    inverse, then the final product), so values are bit-identical.
+    """
+    f = x_cw.shape[-1]
+
+    def step(prod, root):
+        term = fp.sub(x_cw, jnp.broadcast_to(root.reshape(8, 1), (8, f)))
+        return fp.mont_mul(prod, term), None
+
+    prod, _ = jax.lax.scan(step, _const_mont(1, f), roots)
+    denom_inv = fp.inv(fp.sub(xo_cw, _const_mont(1, f)))
+    return fp.mont_mul(prod, denom_inv)
 
 
 def _sync(arr) -> None:
@@ -159,6 +277,10 @@ class Stark:
     num_randomizers: int | None = None
     mesh: object | None = None
     _cache: dict = dc_field(default_factory=dict, repr=False)
+    #: compiled per-instance phase functions — unlike _cache (device
+    #: arrays, cleared before FRI to free HBM) these survive across
+    #: prove() calls so phases never retrace.
+    _fns: dict = dc_field(default_factory=dict, repr=False)
 
     def __post_init__(self):
         if self.num_randomizers is None:
@@ -374,18 +496,23 @@ class Stark:
 
         Z_t vanishes on rows 0..T-2: Z_t = (x^O - 1) / prod_excluded, so
         1/Z_t = prod_{r=T-1}^{O-1}(x - omicron^r) * inv(x^O - 1).
+        The ~num_randomizers-step product runs as ONE jitted scan — the
+        eager loop was 2 dispatches per excluded row, which dominates
+        wall time over a remote-device link.
         """
         if "zt_inv" not in self._cache:
-            f = self.fri_domain_length
             o = self.omicron_domain_length
-            prod = _const_mont(1, f)
-            x = self._x_codeword()
-            for r in range(self.trace_length - 1, o):
-                pt = _const_mont(pow(self.omicron, r, PRIME), f)
-                prod = fp.mont_mul(prod, fp.sub(x, pt))
-            xo = self._x_pow_codeword(o)
-            denom_inv = fp.inv(fp.sub(xo, _const_mont(1, f)))
-            self._cache["zt_inv"] = fp.mont_mul(prod, denom_inv)
+            roots = jnp.asarray(
+                ints_to_limbs(
+                    [
+                        pow(self.omicron, r, PRIME) * R_MOD_P % PRIME
+                        for r in range(self.trace_length - 1, o)
+                    ]
+                ).T.copy()
+            )  # (k, 8)
+            self._cache["zt_inv"] = _zt_inv_jit(
+                self._x_codeword(), self._x_pow_codeword(o), roots
+            )
         return self._cache["zt_inv"]
 
     def _boundary_polys(self, boundary) -> List[dict]:
@@ -506,7 +633,7 @@ class Stark:
                     jnp.asarray(loaded["arrays"][f"bq{j}"])
                     for j in range(self.num_registers)
                 ]
-                bq_tree = MerkleTree.commit(hash_felt_leaves(bq_standard))
+                bq_tree = self._commit_codewords(bq_standard)
                 zk_standard = jnp.asarray(loaded["arrays"]["zk"])
                 zk_tree = self._commit_codewords([zk_standard])
                 return self._fri_and_open(
@@ -536,22 +663,55 @@ class Stark:
             t_lde = self._trace_lde(trace, as_bytes, o, w, _randomizer)
             _sync(t_lde[-1])
 
-        # 4. boundary quotients.
+        # 4. boundary quotients. At production sizes the whole phase
+        # (interpolant + zerofier codewords, ONE batched inversion for all
+        # registers plus the transition-zerofier denominator, quotients,
+        # canonical forms) is a single fused dispatch (_boundary_phase_jit);
+        # small domains keep the eager per-register path (_fuse_enabled).
         bps = self._boundary_polys(boundary)
         with phase("prove.boundary-quotients"):
-            bq = []
-            for j in range(w):
-                b_cw, zb_inv = self._boundary_codewords(bps[j])
-                bq.append(fp.mont_mul(fp.sub(t_lde[j], b_cw), zb_inv))
-                _sync(bq[-1])
-                del b_cw, zb_inv
+            if _fuse_enabled(f):
+                max_c = max(len(bp["interpolant"]) for bp in bps)
+                max_r = max((len(bp["roots"]) for bp in bps), default=0)
+                interp_m = np.zeros((w, max_c, 8), dtype=np.uint32)
+                root_m = np.zeros((w, max(max_r, 1), 8), dtype=np.uint32)
+                for j, bp in enumerate(bps):
+                    for d, c in enumerate(bp["interpolant"]):
+                        interp_m[j, d] = int_to_limbs(c * R_MOD_P % PRIME)
+                    for r_i, r in enumerate(bp["roots"]):
+                        root_m[j, r_i] = int_to_limbs(r * R_MOD_P % PRIME)
+                excl = ints_to_limbs(
+                    [
+                        pow(self.omicron, r, PRIME) * R_MOD_P % PRIME
+                        for r in range(self.trace_length - 1, o)
+                    ]
+                ).T.copy()
+                bps_shape = tuple(
+                    (len(bp["interpolant"]), len(bp["roots"])) for bp in bps
+                )
+                bq_standard, zt_inv = _boundary_phase_jit(
+                    tuple(t_lde),
+                    self._x_codeword(),
+                    self._x_pow_codeword(o),
+                    jnp.asarray(excl),
+                    jnp.asarray(interp_m),
+                    jnp.asarray(root_m),
+                    bps_shape,
+                )
+                bq_standard = list(bq_standard)
+            else:
+                bq = []
+                for j in range(w):
+                    b_cw, zb_inv = self._boundary_codewords(bps[j])
+                    bq.append(fp.mont_mul(fp.sub(t_lde[j], b_cw), zb_inv))
+                    del b_cw, zb_inv
+                bq_standard = [fp.from_mont(q) for q in bq]
+                bq.clear()
+                zt_inv = None  # computed lazily in _prove_rest
+            _sync(bq_standard[-1])
 
         # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
         with phase("prove.bq-commit"):
-            bq_standard = [fp.from_mont(q) for q in bq]
-            # Free the Montgomery forms: the combination step rebuilds them
-            # with one multiply each, and 512MB per codeword matters here.
-            bq.clear()
             bq_tree = self._commit_codewords(bq_standard)
         ps.push({"bq_root": digest_to_item(bq_tree.root)})
 
@@ -571,14 +731,14 @@ class Stark:
         ps.push({"zk_root": digest_to_item(zk_tree.root)})
         import os as _os
 
-        if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))):
+        if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 25))):
             # Start the D2H copies now; they overlap the transition phase
             # and materialize (freeing the HBM) before FRI.
             bq_tree.start_offload()
             zk_tree.start_offload()
         return self._prove_rest(
             ps, boundary, bps, t_lde, bq_standard, bq_tree, zk_standard,
-            zk_tree, o, f, e, w, checkpoint_dir, ckpt_meta,
+            zk_tree, zt_inv, o, f, e, w, checkpoint_dir, ckpt_meta,
         )
 
     def _commit_codewords(self, columns) -> MerkleTree:
@@ -587,7 +747,9 @@ class Stark:
             from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
 
             return commit_sharded(columns, self.mesh)
-        return MerkleTree.commit(hash_felt_leaves(columns))
+        from stark_anatomy_tpu.iop.merkle import commit_columns_fused
+
+        return commit_columns_fused(columns)
 
     def _zk_codeword(self, seed: bytes) -> jnp.ndarray:
         """(8, F) standard-form codeword of a seed-derived uniformly random
@@ -635,17 +797,100 @@ class Stark:
             rows.append([_randomizer(r, j) for j in range(w)])
         return [self.column_lde([rows[r][j] for r in range(o)]) for j in range(w)]
 
+    def _combine_fn(self):
+        """Per-instance jitted transition-quotients + combination phase.
+
+        ONE dispatch for: next-row rolls, AIR constraint evaluation,
+        transition quotients, the degree-lift power tables, and the full
+        weighted combination (including the zk randomizer term). Values
+        are op-for-op the former eager sequence, so proof bytes are
+        unchanged. Stored in _fns (not _cache) so the compiled function
+        survives the end-of-prove cache clear.
+        """
+        if "combine" not in self._fns:
+            air = self.air
+            e = self.expansion_shift
+            f = self.fri_domain_length
+
+            @partial(jax.jit, static_argnames=("shifts",), donate_argnums=(0, 1))
+            def fn(
+                t_lde, constants, zt_inv, bq_std, zk_std,
+                alphas_m, betas_m, bases_m, offs_m, shifts,
+            ):
+                nxt = [jnp.roll(t, -e, axis=1) for t in t_lde]
+                cons = list(air.eval_transition_device(list(t_lde), nxt, list(constants)))
+                tq = [fp.mont_mul(c, zt_inv) for c in cons]
+                distinct = tuple(sorted({s for s in shifts if s}))
+                tables = {}
+                for i, s in enumerate(distinct):
+                    tables[s] = fp.mont_mul(
+                        nttmod._powers_device(bases_m[i], f),
+                        jnp.broadcast_to(offs_m[i].reshape(8, 1), (8, f)),
+                    )
+                comb = fp.to_mont(zk_std)
+                terms = tq + [fp.to_mont(b) for b in bq_std]
+                for t_idx, s in enumerate(shifts):
+                    alpha = jnp.broadcast_to(alphas_m[t_idx].reshape(8, 1), (8, f))
+                    beta = jnp.broadcast_to(betas_m[t_idx].reshape(8, 1), (8, f))
+                    if s:
+                        lift = fp.add(alpha, fp.mont_mul(beta, tables[s]))
+                    else:
+                        lift = fp.add(alpha, beta)
+                    comb = fp.add(comb, fp.mont_mul(lift, terms[t_idx]))
+                return comb
+
+            self._fns["combine"] = fn
+        return self._fns["combine"]
+
     def _prove_rest(
         self, ps, boundary, bps, t_lde, bq_standard, bq_tree, zk_standard,
-        zk_tree, o, f, e, w, checkpoint_dir=None, ckpt_meta=None,
+        zk_tree, zt_inv, o, f, e, w, checkpoint_dir=None, ckpt_meta=None,
     ):
         # 6. combination weights from the transcript.
         n_terms = self.air.num_constraints + w
         weights = sample_weights(ps.prover_fiat_shamir(), 2 * n_terms)
 
-        # 7-8. transition constraint codewords and quotients. Dead
-        # intermediates are dropped eagerly: at F = 2^24 every codeword is
-        # 512MB of HBM and the pipeline must fit ~a dozen of them.
+        if _fuse_enabled(f):
+            # 7-9. transition quotients + combination, one fused dispatch
+            # (_combine_fn). Constants are popped from the cache first:
+            # their buffers are donated to the call (dead weight in FRI).
+            with phase("prove.quotients-combination"):
+                degrees = [self.transition_quotient_degree] * self.air.num_constraints + [
+                    o - 1 - len(bps[j]["roots"]) for j in range(w)
+                ]
+                shifts = tuple(self.degree_target - deg for deg in degrees)
+                distinct = tuple(sorted({s for s in shifts if s}))
+                alphas_m = ints_to_limbs(
+                    [weights[2 * t] * R_MOD_P % PRIME for t in range(n_terms)]
+                ).T.copy()
+                betas_m = ints_to_limbs(
+                    [weights[2 * t + 1] * R_MOD_P % PRIME for t in range(n_terms)]
+                ).T.copy()
+                bases_m = ints_to_limbs(
+                    [pow(self.omega, s, PRIME) * R_MOD_P % PRIME for s in distinct]
+                ).T.copy() if distinct else np.zeros((0, 8), dtype=np.uint32)
+                offs_m = ints_to_limbs(
+                    [pow(self.offset, s, PRIME) * R_MOD_P % PRIME for s in distinct]
+                ).T.copy() if distinct else np.zeros((0, 8), dtype=np.uint32)
+                constants = list(self._constants_codewords())
+                self._cache.pop("constants", None)
+                comb = self._combine_fn()(
+                    tuple(t_lde), tuple(constants), zt_inv, tuple(bq_standard),
+                    jnp.asarray(zk_standard), jnp.asarray(alphas_m),
+                    jnp.asarray(betas_m), jnp.asarray(bases_m),
+                    jnp.asarray(offs_m), shifts=shifts,
+                )
+                t_lde.clear()
+                del constants, zt_inv
+                self._cache.pop("zt_inv", None)
+                _sync(comb)
+            return self._after_combination(
+                ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e,
+                checkpoint_dir, ckpt_meta, w,
+            )
+
+        # Eager path (small domains): per-op dispatches, dead intermediates
+        # dropped as we go. Bit-identical to the fused path.
         with phase("prove.transition-quotients"):
             nxt = [jnp.roll(t, -e, axis=1) for t in t_lde]
             constraints = list(
@@ -696,7 +941,16 @@ class Stark:
                     lift = fp.add(lift, _const_mont(beta, f))
                 comb = fp.add(comb, fp.mont_mul(lift, term))
                 del term, lift
-                _sync(comb)
+            _sync(comb)
+        return self._after_combination(
+            ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e,
+            checkpoint_dir, ckpt_meta, w,
+        )
+
+    def _after_combination(
+        self, ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e,
+        checkpoint_dir, ckpt_meta, w,
+    ):
 
         if checkpoint_dir is not None:
             from stark_anatomy_tpu.utils import checkpoint as ckpt
@@ -716,12 +970,14 @@ class Stark:
         self._cache.clear()
         import os as _os
 
-        if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 21))):
+        if f >= int(_os.environ.get("STARK_ANATOMY_OFFLOAD_N", str(1 << 25))):
             with phase("prove.host-offload"):
                 bq_tree.offload_to_host()
                 zk_tree.offload_to_host()
                 bq_standard = [np.asarray(q) for q in bq_standard]
                 zk_standard = np.asarray(zk_standard)
+                bq_tree.replace_leaf_columns(bq_standard)
+                zk_tree.replace_leaf_columns([zk_standard])
         return self._fri_and_open(
             ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e,
             checkpoint_dir, ckpt_meta,
@@ -737,31 +993,59 @@ class Stark:
                 comb, ps, checkpoint_dir=checkpoint_dir, checkpoint_meta=ckpt_meta
             )
 
-        # 11. open the boundary-quotient rows the verifier will need.
+        # 11-12. open the boundary-quotient rows and zk-randomizer values
+        # the verifier will need. ALL gathers (codeword columns + Merkle
+        # path rows for both trees) dispatch asynchronously and transfer
+        # in one jax.device_get wave — serialized small fetches dominate
+        # this phase over a remote-device link.
         need = set()
         for i in top_indices:
             for base in (i, i + f // 2):
                 need.add(base % f)
                 need.add((base + e) % f)
-        from stark_anatomy_tpu.iop.fri import gather_columns
-
         need_list = sorted(need)
-        # One batched gather per register (full-codeword transfers are
-        # prohibitive at scale over a remote-device link).
+        zk_idx = sorted({i % f for i in top_indices} | {(i + f // 2) % f for i in top_indices})
+
+        wave: List = []
+        slots: Dict[str, int] = {}
+        host_cols: Dict[str, np.ndarray] = {}
+        for j, q in enumerate(bq_standard):
+            if isinstance(q, np.ndarray):
+                host_cols[f"bq{j}"] = q[:, need_list]
+            else:
+                slots[f"bq{j}"] = len(wave)
+                wave.append(jnp.take(q, jnp.asarray(need_list), axis=1))
+        if isinstance(zk_standard, np.ndarray):
+            host_cols["zk"] = zk_standard[:, zk_idx]
+        else:
+            slots["zk"] = len(wave)
+            wave.append(jnp.take(zk_standard, jnp.asarray(zk_idx), axis=1))
+        bq_devs, bq_fill = bq_tree._prefetch_plan(need_list)
+        zk_devs, zk_fill = zk_tree._prefetch_plan(zk_idx)
+        bq_base, zk_base = len(wave), len(wave) + len(bq_devs)
+        wave.extend(bq_devs)
+        wave.extend(zk_devs)
+        import jax as _jax
+
+        fetched = _jax.device_get(wave) if wave else []
+        for name, slot in slots.items():
+            host_cols[name] = np.asarray(fetched[slot])
+        bq_fill(fetched[bq_base : bq_base + len(bq_devs)])
+        zk_fill(fetched[zk_base : zk_base + len(zk_devs)])
+
         bq_values = {
             idx: [int(v) for v in vals]
             for idx, vals in zip(
                 need_list,
                 np.stack(
                     [
-                        limbs_to_ints(gather_columns(q, need_list))
-                        for q in bq_standard
+                        limbs_to_ints(host_cols[f"bq{j}"])
+                        for j in range(len(bq_standard))
                     ],
                     axis=1,
                 ),
             )
         }
-        bq_tree._prefetch(need_list)
         ps.push(
             {
                 "bq_leaves": [
@@ -779,13 +1063,9 @@ class Stark:
             }
         )
 
-        # 12. open the zk randomizer at the combination-check indices
-        # (FRI's top-level points: i and i + F/2 for each query).
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
 
-        zk_idx = sorted({i % f for i in top_indices} | {(i + f // 2) % f for i in top_indices})
-        zk_cols = gather_columns(zk_standard, zk_idx)
-        zk_tree._prefetch(zk_idx)
+        zk_cols = host_cols["zk"]
         ps.push(
             {
                 "zk_leaves": [

@@ -136,3 +136,56 @@ def test_chunked_hashing_matches(monkeypatch):
     np.testing.assert_array_equal(chunked, full)
     tree_chunked = merkle_mod.MerkleTree.commit(chunked)
     assert tree_chunked.root == tree_full.root
+
+
+def test_fused_commit_matches_eager():
+    # commit_columns_fused must produce the same root/paths as the eager
+    # MerkleTree.commit(hash_felt_leaves(...)) pipeline.
+    from stark_anatomy_tpu.iop.merkle import commit_columns_fused
+
+    rng = np.random.default_rng(13)
+    cols = [
+        ints_to_limbs([int(x) for x in rng.integers(0, 1 << 62, size=128)])
+        for _ in range(2)
+    ]
+    import jax.numpy as jnp
+
+    dev_cols = [jnp.asarray(c) for c in cols]
+    eager = MerkleTree.commit(hash_felt_leaves(dev_cols))
+    fused = commit_columns_fused(dev_cols)
+    assert fused.root == eager.root
+    for i in (0, 1, 63, 127):
+        assert fused.open(i) == eager.open(i)
+
+
+def test_dropped_leaf_level_tree():
+    # store_leaves=False: opens recompute leaf digests from the codeword
+    # columns; roots, paths, and verification must be identical, including
+    # after the columns move to host (replace_leaf_columns).
+    from stark_anatomy_tpu.iop.merkle import commit_columns_fused
+
+    rng = np.random.default_rng(17)
+    vals = [[int(x) for x in rng.integers(0, 1 << 62, size=256)] for _ in range(2)]
+    vals[0][0] = PRIME - 1
+    cols = [ints_to_limbs(v) for v in vals]
+    import jax.numpy as jnp
+
+    dev_cols = [jnp.asarray(c) for c in cols]
+    stored = commit_columns_fused(dev_cols, store_leaves=True)
+    dropped = commit_columns_fused(dev_cols, store_leaves=False)
+    assert dropped.levels[0] is None
+    assert dropped.root == stored.root
+    assert dropped.num_leaves == stored.num_leaves == 256
+    for i in (0, 1, 128, 255):
+        path = dropped.open(i)
+        assert path == stored.open(i)
+        leaf = hash_felts([vals[k][i] for k in range(2)])
+        assert verify_path(dropped.root, leaf, path, i)
+    # open_many exercises the batched prefetch of recomputed digests.
+    assert dropped.open_many([3, 77]) == stored.open_many([3, 77])
+    # Host-offloaded columns give the same digests.
+    dropped.offload_to_host()
+    dropped.replace_leaf_columns([np.asarray(c) for c in dev_cols])
+    dropped._fetch_cache.clear()
+    for i in (0, 200):
+        assert dropped.open(i) == stored.open(i)

@@ -177,3 +177,23 @@ def test_offload_path_identical_proof(monkeypatch):
     resident = stark2.prove(rp.trace(inp), boundary, randomizer_seed=b"o")
     assert offloaded == resident
     assert stark.verify(offloaded, boundary)
+
+
+def test_fused_path_identical_proof(monkeypatch):
+    # The fused phase mega-jits (forced on via a tiny threshold) must
+    # produce byte-identical proofs to the eager per-op path.
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    boundary = air.boundary_constraints(rp.hash(777))
+    monkeypatch.setenv("STARK_ANATOMY_FUSE_MIN", "1")
+    fused = Stark(air, expansion_factor=4, num_colinearity_checks=2).prove(
+        rp.trace(777), boundary, randomizer_seed=b"f"
+    )
+    monkeypatch.setenv("STARK_ANATOMY_FUSE_MIN", str(1 << 60))
+    eager = Stark(air, expansion_factor=4, num_colinearity_checks=2).prove(
+        rp.trace(777), boundary, randomizer_seed=b"f"
+    )
+    assert fused == eager
+    assert Stark(air, expansion_factor=4, num_colinearity_checks=2).verify(
+        fused, boundary
+    )

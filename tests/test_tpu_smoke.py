@@ -1,0 +1,93 @@
+"""Real-TPU kernel equality smoke tests (auto-skip off-TPU).
+
+The rest of the suite runs the Pallas kernels only in interpret mode on
+the CPU backend (tests/conftest.py), which validates semantics but not
+real lowering: tiling/layout bugs surface only on hardware. This module
+asserts kernel == jnp ON DEVICE for one production-sized shape per
+kernel family. Run with
+
+    STARK_ANATOMY_TPU_TESTS=1 python -m pytest tests/test_tpu_smoke.py -q
+
+(`make test-tpu`) in the bench environment each round; without the env
+var the conftest pins the CPU backend and everything here skips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu",
+    reason="requires a real TPU (STARK_ANATOMY_TPU_TESTS=1 on hardware)",
+)
+
+_N = 1 << 20  # large enough to exercise multi-block grids and real tiling
+
+
+@pytest.fixture(scope="module")
+def limb_batch():
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(random_felt_limbs(rng, (_N,)))
+    b = jnp.asarray(random_felt_limbs(rng, (_N,)))
+    return a, b
+
+
+def test_field_kernels_match_jnp_on_device(limb_batch):
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import field_pallas as fp
+
+    a, b = limb_batch
+    assert fp._on_tpu(), "smoke test running without the TPU kernel path"
+    for name, kfn, jfn in [
+        ("add", fp.add, fj.add),
+        ("sub", fp.sub, fj.sub),
+        ("mont_mul", fp.mont_mul, fj.mont_mul),
+    ]:
+        got = np.asarray(kfn(a, b))
+        want = np.asarray(jfn(a, b))
+        assert np.array_equal(got, want), f"{name} kernel != jnp on device"
+
+
+def test_butterfly_kernel_matches_jnp_on_device(limb_batch):
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import field_pallas as fp
+
+    a, b = limb_batch
+    tw = fj.mont_mul(a, b)
+    hi, lo = fp.butterfly(a, b, tw)
+    t = fj.mont_mul(b, tw)
+    assert np.array_equal(np.asarray(hi), np.asarray(fj.add(a, t)))
+    assert np.array_equal(np.asarray(lo), np.asarray(fj.sub(a, t)))
+
+
+def test_inv_kernel_matches_fermat_on_device(limb_batch):
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import field_pallas as fp
+
+    a, _ = limb_batch
+    inv = fp.inv(a)
+    prod = np.asarray(fj.from_mont(fj.mont_mul(a, inv)))
+    # a is sampled nonzero, so a * a^-1 == 1 everywhere.
+    assert np.array_equal(prod[0], np.ones(_N, dtype=np.uint32))
+    assert not prod[1:].any()
+
+
+def test_ntt_pallas_matches_jnp_on_device():
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import ntt as nttmod
+    from stark_anatomy_tpu.ops import ntt_pallas as ntp
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    rng = np.random.default_rng(11)
+    x = fj.to_mont(jnp.asarray(random_felt_limbs(rng, (_N,))))
+    got = np.asarray(ntp.ntt(x))
+    want = np.asarray(nttmod.ntt_jnp(x))
+    assert np.array_equal(got, want), "Pallas NTT != jnp NTT on device"
+    back = np.asarray(ntp.intt(jnp.asarray(got)))
+    assert np.array_equal(back, np.asarray(x)), "Pallas iNTT(NTT(x)) != x"

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Speed-of-light accounting for the hot kernels (BASELINE.md).
+
+Measures on the current backend:
+  1. empirical VPU u32 throughput — a Pallas kernel that runs K
+     multiply-add pairs per element on VMEM-resident tiles (compute-bound
+     by construction); this is the realistic "speed of light" for limb
+     arithmetic, independent of spec-sheet assumptions;
+  2. empirical HBM bandwidth — a streaming copy over a large array;
+  3. the headline NTT (ops/ntt_pallas.py) at 2^24, translated into u32
+     ops/s via the static per-butterfly op count of the Pallas kernels
+     (field_pallas._mont_mul_digits + add/sub: counted below), reported
+     as a fraction of (1);
+  4. device Blake2b-512 (ops/blake2b.py) leaf hashing, translated into
+     u32 ops/s via the per-compression ARX op count, as a fraction of (1).
+
+Prints a human-readable report; run on the bench chip each round and
+paste the numbers into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu"),
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sync(x) -> float:
+    _ = int(np.asarray(x.reshape(-1)[:1])[0])
+    return time.perf_counter()
+
+
+# -- per-butterfly / per-compression static op counts -----------------------
+#
+# field_pallas._mont_mul_digits: 64 schoolbook steps x (mul, and, shift,
+# 2 adds) = 320; 8 REDC steps x ~11 = 88; 8 normalize x 3 = 24;
+# _cond_sub_p ~42  -> ~474 u32 ops.
+# _add_digits ~74 (incl. cond-sub), _sub_digits ~60.
+MONT_MUL_OPS = 474
+BUTTERFLY_OPS = MONT_MUL_OPS + 74 + 60  # mul + add + sub = ~608
+
+# ops/blake2b.py: 12 rounds x 8 G-functions; each G (64-bit words as u32
+# pairs): 4x 64-bit adds (~6 u32 ops each: 2 add, carry detect/add), 4x
+# 64-bit xors (2 ops), 4x rotations (~6 ops: shifts+or on the pair)
+# ~= 4*6 + 4*2 + 4*6 = 56 ops -> 12*8*56 = 5376, plus init/final xors
+# ~64 -> ~5440 u32 ops per 128-byte compression.
+BLAKE2B_COMPRESS_OPS = 5440
+
+
+# -- 1. empirical VPU u32 peak ----------------------------------------------
+
+
+def _vpu_kernel(x_ref, o_ref, *, iters: int):
+    a = x_ref[...]
+    b = a | np.uint32(1)
+    acc = a
+    for _ in range(iters):
+        acc = acc * b + a  # 2 u32 ops per element per iteration
+    o_ref[...] = acc
+
+
+def measure_vpu_u32(iters: int = 512, rows: int = 512) -> float:
+    """Achieved u32 ops/s on a compute-bound multiply-add chain."""
+    n = rows * 128 * 64  # 64 grid steps
+    x = jnp.arange(n, dtype=jnp.uint32).reshape(64, rows, 128)
+    spec = pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            partial(_vpu_kernel, iters=iters),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(64,),
+            in_specs=[spec],
+            out_specs=spec,
+        )(x)
+
+    y = run(x)
+    t0 = _sync(y)
+    reps = 8
+    for _ in range(reps):
+        y = run(y)
+    t1 = _sync(y)
+    ops = 2.0 * iters * n * reps
+    return ops / (t1 - t0)
+
+
+# -- 2. empirical HBM bandwidth ---------------------------------------------
+
+
+def measure_hbm_bw(log2_bytes: int = 30) -> float:
+    """Bytes/s for a read+write streaming pass (copy via elementwise add)."""
+    n = 1 << (log2_bytes - 2)
+    x = jnp.zeros((n,), dtype=jnp.uint32)
+
+    @jax.jit
+    def run(x):
+        return x + np.uint32(1)
+
+    y = run(x)
+    t0 = _sync(y)
+    reps = 8
+    for _ in range(reps):
+        y = run(y)
+    t1 = _sync(y)
+    return 2.0 * 4 * n * reps / (t1 - t0)  # read + write
+
+
+# -- 3. NTT ------------------------------------------------------------------
+
+
+def measure_ntt(log2n: int = 24, reps: int = 5) -> float:
+    from stark_anatomy_tpu.ops import ntt_pallas as ntp
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    n = 1 << log2n
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(random_felt_limbs(rng, (n,)))
+    y = ntp.ntt(x)
+    t0 = _sync(y)
+    for _ in range(reps):
+        y = ntp.ntt(y)
+    t1 = _sync(y)
+    return (n // 2) * log2n * reps / (t1 - t0)  # butterflies/s
+
+
+# -- 4. Blake2b --------------------------------------------------------------
+
+
+def measure_blake2b(log2n: int = 20, reps: int = 5) -> float:
+    from stark_anatomy_tpu.ops.blake2b import blake2b_u32
+
+    n = 1 << log2n
+    msg = jnp.arange(n * 32, dtype=jnp.uint32).reshape(n, 32)
+    d = blake2b_u32(msg, msg_len=128)
+    t0 = _sync(d)
+    for _ in range(reps):
+        d = blake2b_u32(msg, msg_len=128)
+    t1 = _sync(d)
+    return n * reps / (t1 - t0)  # single-compression hashes/s
+
+
+def main() -> None:
+    dev = jax.devices()[0]
+    print(f"device: {dev.device_kind} ({dev.platform})")
+
+    vpu = measure_vpu_u32()
+    print(f"empirical VPU u32 peak: {vpu:.3e} ops/s")
+    bw = measure_hbm_bw()
+    print(f"empirical HBM bandwidth: {bw / 1e9:.1f} GB/s")
+
+    bfly = measure_ntt()
+    ntt_ops = bfly * BUTTERFLY_OPS
+    # HBM bound: the fused kernels stream the (8, n) codeword ~once per
+    # stage-group; measure_ntt's achieved bytes/s is not separable here,
+    # so report the compute fraction (the binding constraint at 2^24).
+    print(
+        f"NTT @ 2^24: {bfly:.3e} butterflies/s = {ntt_ops:.3e} u32 ops/s "
+        f"= {100 * ntt_ops / vpu:.1f}% of empirical VPU peak "
+        f"({BUTTERFLY_OPS} ops/butterfly)"
+    )
+
+    h = measure_blake2b()
+    hash_ops = h * BLAKE2B_COMPRESS_OPS
+    print(
+        f"Blake2b-512 @ 2^20 leaves: {h:.3e} hashes/s = {hash_ops:.3e} u32 ops/s "
+        f"= {100 * hash_ops / vpu:.1f}% of empirical VPU peak "
+        f"({BLAKE2B_COMPRESS_OPS} ops/compression)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Phase-timing harness for the prover (development tool).
+
+Proves a Rescue-Prime chain twice in one process (cold + warm) and prints
+the per-phase telemetry for the warm run, plus a dispatch count when
+STARK_ANATOMY_COUNT_DISPATCH=1.
+
+    python tools/time_prove.py --chain 9705    # ~2^18-row trace, F=2^22
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu"),
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chain", type=int, default=9705)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--verify", action="store_true")
+    args = ap.parse_args()
+
+    from stark_anatomy_tpu.iop.stark import Stark
+    from stark_anatomy_tpu.models.rescue_prime import RescuePrime, RescuePrimeAir
+    from stark_anatomy_tpu.utils import telemetry
+
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=args.chain)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=16)
+    print(
+        f"T={stark.trace_length} w={stark.num_registers} "
+        f"O=2^{stark.omicron_domain_length.bit_length()-1} "
+        f"F=2^{stark.fri_domain_length.bit_length()-1} "
+        f"terms={air.num_constraints + stark.num_registers}"
+    )
+    t0 = time.time()
+    trace = rp.trace_bytes(1234567890, chain_length=args.chain)
+    output = rp.chain_output(1234567890, args.chain)
+    boundary = air.boundary_constraints(output)
+    print(f"trace gen {time.time()-t0:.2f}s")
+
+    proof = None
+    for rep in range(args.reps):
+        telemetry.reset()
+        t0 = time.time()
+        proof = stark.prove(trace, boundary, randomizer_seed=b"timing")
+        dt = time.time() - t0
+        print(f"rep {rep}: proved in {dt:.2f}s ({len(proof)} bytes)")
+    for name, stats in sorted(telemetry.report().items()):
+        print(f"  {name}: {stats['seconds']:.2f}s x{stats['calls']}")
+    if args.verify:
+        t0 = time.time()
+        ok = stark.verify(proof, boundary)
+        print(f"verify {time.time()-t0:.2f}s: {ok}")
+        return 0 if ok else 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
