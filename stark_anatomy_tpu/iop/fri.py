@@ -249,8 +249,23 @@ class Fri:
                     codeword = fold(fp.to_mont(standard), alpha, offset, omega)
                 omega = omega * omega % PRIME
                 offset = offset * offset % PRIME
+        # Below this size the remaining rounds run entirely on host: each
+        # device round costs ~3 serialized round trips (fold dispatch,
+        # commit dispatch, root fetch) regardless of size, while exact
+        # host math on a few thousand values is sub-millisecond. Values
+        # and transcripts are bit-identical (exact field arithmetic both
+        # sides; leaf hashing parity is pinned in tests).
+        host_tail_n = int(
+            __import__("os").environ.get("STARK_ANATOMY_FRI_HOST_N", str(1 << 14))
+        )
         pending = None  # (round, tree, standard) whose D2H copies are in flight
         for r in range(resume_from, rounds):
+            if self.mesh is None and codeword.shape[-1] <= host_tail_n:
+                self._host_tail(
+                    codeword, r, rounds, omega, offset, codewords_dev, trees,
+                    proof_stream, checkpoint_dir, checkpoint_meta,
+                )
+                break
             codeword = self._reshard(codeword)
             standard = fp.from_mont(codeword)
             tree = self._commit_one(standard)
@@ -353,6 +368,57 @@ class Fri:
                 trees[entry["r"]], trees[entry["r"] + 1], entry, proof_stream
             )
         return top_indices
+
+    def _host_tail(
+        self, codeword_mont, start_round, rounds, omega, offset,
+        codewords_dev, trees, proof_stream, checkpoint_dir, checkpoint_meta,
+    ) -> None:
+        """Run rounds start_round..rounds-1 in exact host arithmetic.
+
+        One device->host transfer of the (small) current codeword, then
+        pure-Python folds and hashlib commits — identical values, roots
+        and snapshots to the device path (exact field math both sides;
+        tests/test_fri.py pins fold parity, tests/test_blake2b.py pins
+        hashing parity)."""
+        from stark_anatomy_tpu.ops.limbs import ints_to_limbs
+        from stark_anatomy_tpu.utils.encoding import hash_felts as _hash_felts
+
+        values = [int(v) for v in limbs_to_ints(np.asarray(fp.from_mont(codeword_mont)))]
+        for r in range(start_round, rounds):
+            limbs = ints_to_limbs(values)  # (8, n) np — query-phase format
+            leaves = np.stack(
+                [np.frombuffer(_hash_felts([v]), dtype="<u4") for v in values]
+            )
+            tree = MerkleTree.commit(leaves, device=False)
+            if checkpoint_dir is not None:
+                from stark_anatomy_tpu.utils import checkpoint as ckpt
+
+                ckpt.save(
+                    checkpoint_dir, f"fri-r{r}", [],
+                    {"codeword": limbs}, checkpoint_meta or {},
+                )
+            codewords_dev.append(limbs)
+            trees.append(tree)
+            proof_stream.push({"fri_root": digest_to_item(tree.root)})
+            if r == rounds - 1:
+                break
+            alpha = sample_field_element(proof_stream.prover_fiat_shamir())
+            half = len(values) // 2
+            inv2 = finv(2)
+            d_inv = finv(offset)
+            w_inv = finv(omega)
+            new_vals = []
+            for i in range(half):
+                au = alpha * d_inv % PRIME
+                new_vals.append(
+                    inv2
+                    * ((1 + au) * values[i] + (1 - au) * values[i + half])
+                    % PRIME
+                )
+                d_inv = d_inv * w_inv % PRIME
+            values = new_vals
+            omega = omega * omega % PRIME
+            offset = offset * offset % PRIME
 
     def _reshard(self, codeword_mont):
         """Re-lay a fold result out in contiguous blocks over the mesh.

@@ -699,6 +699,11 @@ class Stark:
                     bps_shape,
                 )
                 bq_standard = list(bq_standard)
+                # The x / x^O tables are dead after this phase on the fused
+                # path (_combine_fn builds its own power tables): free the
+                # HBM (1 GB at F = 2^24) before the commits.
+                self._cache.pop("x_cw", None)
+                self._cache.pop(("xpow", o), None)
             else:
                 bq = []
                 for j in range(w):
@@ -769,7 +774,11 @@ class Stark:
         n = self.degree_target + 1
         key = int.from_bytes(hashlib.sha256(_ZK_TAG + seed).digest()[:16], "little")
         rng = np.random.Generator(np.random.Philox(key=key))
-        raw = jnp.asarray(rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32))
+        # Draws are < 2^16: ship them as uint16 (halves the host->device
+        # transfer, which dominates this phase over a remote link) and
+        # widen on device — bit-identical values.
+        raw_host = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
+        raw = jnp.asarray(raw_host.astype(np.uint16)).astype(jnp.uint32)
         z = fj.zeros((n,))
         lo = fj.add(raw[:8], z)
         hi = fj.add(raw[8:], z)

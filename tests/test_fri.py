@@ -112,3 +112,34 @@ def test_num_rounds_bounds():
     fri = _fri()
     # Folding stops while 4*tests < length and length > expansion.
     assert fri.num_rounds == 3  # 256 -> 128 -> 64 -> 32 (stop: 4*8 !< 32)
+
+
+def test_host_tail_matches_device_rounds(monkeypatch):
+    # The host-tail rounds (STARK_ANATOMY_FRI_HOST_N) must produce the
+    # exact transcript bytes of the all-device path.
+    import jax.numpy as jnp
+
+    from stark_anatomy_tpu.iop.proof_stream import ProofStream
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import ntt as nttmod
+    from stark_anatomy_tpu.ops.limbs import ints_to_limbs
+
+    n, expansion = 1 << 10, 4
+    fri = Fri(offset=GENERATOR, domain_length=n, expansion_factor=expansion,
+              num_colinearity_tests=4)
+    rng = np.random.default_rng(23)
+    coeffs = [int(x) for x in rng.integers(0, 1 << 60, size=n // expansion)]
+    cw = nttmod.coset_evaluate(
+        fj.to_mont(jnp.asarray(ints_to_limbs(coeffs))), n, GENERATOR
+    )
+
+    monkeypatch.setenv("STARK_ANATOMY_FRI_HOST_N", "0")
+    ps_dev = ProofStream()
+    idx_dev = fri.prove(cw, ps_dev)
+    monkeypatch.setenv("STARK_ANATOMY_FRI_HOST_N", str(1 << 30))
+    ps_host = ProofStream()
+    idx_host = fri.prove(cw, ps_host)
+    assert idx_dev == idx_host
+    assert ps_dev.serialize() == ps_host.serialize()
+    ok, pts = fri.verify(ProofStream.deserialize(ps_host.serialize()))
+    assert ok and pts

@@ -115,9 +115,13 @@ def test_checkpoint_refuses_stale_trace_and_seed(tmp_path):
 def test_mid_fri_kill_resume(tmp_path, monkeypatch):
     # A crash mid-FRI must resume from the per-round snapshots: completed
     # folds are skipped and the resumed proof is byte-identical to an
-    # uninterrupted run.
+    # uninterrupted run. Force the all-device FRI (no host tail) — the
+    # fault is injected into the device fold, which at this tiny domain
+    # would otherwise never run (bytes are tail-independent, pinned by
+    # test_fri.py::test_host_tail_matches_device_rounds).
     import stark_anatomy_tpu.iop.fri as frimod
 
+    monkeypatch.setenv("STARK_ANATOMY_FRI_HOST_N", "0")
     rp, stark = _small_stark()
     inp = 4711
     b = stark.air.boundary_constraints(rp.hash(inp))
