@@ -63,7 +63,7 @@ def limbs_to_leaf_words(columns: Sequence) -> jnp.ndarray:
     return jnp.stack(words, axis=1)
 
 
-_HASH_CHUNK = 1 << 21  # leaves per dispatch: bounds Blake2b transients to ~1GB
+_HASH_CHUNK = 1 << 19  # leaves per chunk: bounds Blake2b word-plane transients
 
 
 def _hash_leaves_traced(columns: Sequence, msg_len: int) -> jnp.ndarray:
@@ -90,6 +90,22 @@ def _hash_leaves_traced(columns: Sequence, msg_len: int) -> jnp.ndarray:
     return jax.lax.map(_one, chunks).reshape(n, 16)
 
 
+def _leaf_word_planes(columns: Sequence) -> jnp.ndarray:
+    """Limb columns -> (4*len(columns), n) message word PLANES.
+
+    Same words as limbs_to_leaf_words but plane-major — the layout the
+    Pallas hasher consumes, and the natural orientation of limb columns
+    (no batch-axis transpose of the whole message)."""
+    planes = []
+    for col in columns:
+        if col.shape[0] != NUM_LIMBS:
+            raise ValueError("expected (8, n) limb arrays")
+        c = col.astype(jnp.uint32)
+        for j in range(4):
+            planes.append(c[2 * j] | (c[2 * j + 1] << jnp.uint32(16)))
+    return jnp.stack(planes)
+
+
 def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = True):
     """(all device levels as a tuple, first small level for the host tail).
 
@@ -99,18 +115,58 @@ def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = 
     (XLA frees it after the first reduction) — at 2^24 leaves that level
     alone is 1 GB of HBM, and opens can recompute the handful of digests
     they need from the committed codeword columns instead.
+
+    On TPU the leaf hashing and every large level run through the Pallas
+    compressor (ops/blake2b_pallas.py) in plane-major layout: ~15x the
+    jnp hasher's throughput, and VMEM-resident state instead of ~100
+    HBM word planes (an unchunked jnp 2^24 commit program reserved
+    13.5 GB of XLA temp). Identical digests (pinned on-device by
+    tests/test_tpu_smoke.py; the layouts are bit-reinterpretations).
     """
-    leaves = _hash_leaves_traced(columns, msg_len)
-    levels = []
-    cur = leaves
+    from stark_anatomy_tpu.ops import blake2b_pallas as bp
+
+    n = int(columns[0].shape[-1])
+    plane_levels = []
+    row_levels = []
     first = True
+    if bp.supported(n, msg_len):
+        # Plane-major all the way down: transposing a (16, m) digest array
+        # to row-major costs multiple full passes on TPU (measured: the
+        # transposes alone pushed the commit program to 13 GB of temp and
+        # ~40x input bytes accessed). Levels are STORED plane-major;
+        # MerkleTree gathers columns instead of rows for opens.
+        dig = bp.blake2b_planes(_leaf_word_planes(columns), msg_len)  # (16, n)
+        while int(dig.shape[1]) > 2 * _DEVICE_MIN_BATCH and int(dig.shape[1]) % 2048 == 0:
+            if store_leaves or not first:
+                plane_levels.append(dig)
+            first = False
+            # Even/odd lane split via strided slices: a reshape to a
+            # trailing (…, 2) axis gets lane-padded 2->128 by TPU tiling
+            # (measured 4x memory expansion, 13.4 GB of temp for this
+            # program); strided slices lower to one clean pass (1.07 GB).
+            msg = jnp.concatenate([dig[:, 0::2], dig[:, 1::2]], axis=0)  # (32, m/2)
+            dig = bp.blake2b_planes(msg, 128)
+        cur = jnp.transpose(dig)  # small boundary transpose only
+    else:
+        cur = _hash_leaves_traced(columns, msg_len)
     while int(cur.shape[0]) > 2 * _DEVICE_MIN_BATCH:
         if store_leaves or not first:
-            levels.append(cur)
+            row_levels.append(cur)
         first = False
         c = cur.reshape(-1, 2, 16)
-        cur = merkle_node_hash(c[:, 0, :], c[:, 1, :])
-    return tuple(levels), cur
+        pairs = int(c.shape[0])
+        if pairs > _HASH_CHUNK:
+            # Chunk big jnp level reductions through lax.map: the jnp
+            # compressor's word planes are ~100x the digest bytes and XLA
+            # materializes them.
+            k = pairs // _HASH_CHUNK
+            cc = c.reshape(k, _HASH_CHUNK, 2, 16)
+            cur = jax.lax.map(
+                lambda blk: merkle_node_hash(blk[:, 0, :], blk[:, 1, :]), cc
+            ).reshape(pairs, 16)
+        else:
+            cur = merkle_node_hash(c[:, 0, :], c[:, 1, :])
+    return tuple(plane_levels), tuple(row_levels), cur
 
 
 @partial(jax.jit, static_argnames=("msg_len", "store_leaves"))
@@ -157,8 +213,10 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
             tree.leaf_columns = cols
         return tree
     cols = [jnp.asarray(c) for c in columns]
-    levels_dev, top = _commit_levels_jit(tuple(cols), msg_len, store_leaves)
-    levels: List = ([None] if not store_leaves else []) + list(levels_dev)
+    plane_dev, row_dev, top = _commit_levels_jit(tuple(cols), msg_len, store_leaves)
+    levels: List = ([None] if not store_leaves else []) + list(plane_dev) + list(row_dev)
+    offset = 0 if store_leaves else 1
+    plane_set = frozenset(range(offset, offset + len(plane_dev)))
     cur = np.asarray(top, dtype="<u4")
     while cur.shape[0] > 1:
         levels.append(cur)
@@ -170,7 +228,11 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
             nxt[i] = np.frombuffer(d, dtype="<u4")
         cur = nxt
     levels.append(cur)
-    return MerkleTree(levels, leaf_columns=None if store_leaves else cols)
+    return MerkleTree(
+        levels,
+        leaf_columns=None if store_leaves else cols,
+        plane_levels=plane_set,
+    )
 
 
 def hash_felt_leaves(columns: Sequence) -> jnp.ndarray:
@@ -205,15 +267,26 @@ class MerkleTree:
     gathers the requested rows in one dispatch per level and caches them.
     """
 
-    def __init__(self, levels: List, leaf_columns: List | None = None):
+    def __init__(
+        self,
+        levels: List,
+        leaf_columns: List | None = None,
+        plane_levels: frozenset = frozenset(),
+    ):
         """levels[0] may be None when leaf_columns is given: opens then
         recompute leaf digests from the codeword columns (host hashing of
         the gathered rows — byte-identical to the device hasher, pinned in
         tests/test_blake2b.py) instead of reading a stored 64-byte digest
         per leaf. The caller owns keeping `leaf_columns` alive/offloaded;
-        use replace_leaf_columns after moving codewords to host."""
+        use replace_leaf_columns after moving codewords to host.
+
+        plane_levels: indices of levels stored PLANE-major as (16, m)
+        word planes (the Pallas hash pipeline's layout — transposing to
+        row-major on TPU costs full extra passes per level); digests for
+        those levels are gathered as columns."""
         self.levels = levels
         self.leaf_columns = leaf_columns
+        self.plane_levels = plane_levels
         if levels[0] is None and leaf_columns is None:
             raise ValueError("dropped leaf level requires leaf_columns")
         self._fetch_cache: dict = {}
@@ -277,7 +350,14 @@ class MerkleTree:
     @property
     def num_leaves(self) -> int:
         if self.levels[0] is None:
-            return 2 * int(self.levels[1].shape[0])
+            m = int(
+                self.levels[1].shape[1]
+                if 1 in self.plane_levels
+                else self.levels[1].shape[0]
+            )
+            return 2 * m
+        if 0 in self.plane_levels:
+            return int(self.levels[0].shape[1])
         return int(self.levels[0].shape[0])
 
     def _leaf_digests(self, indices: List[int]) -> List[bytes]:
@@ -307,6 +387,9 @@ class MerkleTree:
             arr = self.levels[level]
             if arr is None:
                 self._fetch_cache[key] = self._leaf_digests([index])[0]
+            elif level in self.plane_levels:
+                col = np.asarray(jnp.asarray(arr)[:, index]).astype("<u4")
+                self._fetch_cache[key] = col.tobytes()
             elif isinstance(arr, np.ndarray):
                 self._fetch_cache[key] = np.ascontiguousarray(
                     arr[index], dtype="<u4"
@@ -337,10 +420,21 @@ class MerkleTree:
                 for i, d in zip(need, self._leaf_digests(need)):
                     self._fetch_cache[(level, i)] = d
                 continue
+            plane = level in self.plane_levels
             if isinstance(arr, np.ndarray):
+                if not plane:
+                    continue
+                rows = arr[:, need].T
+                for pos, i in enumerate(need):
+                    self._fetch_cache[(level, i)] = np.ascontiguousarray(
+                        rows[pos], dtype="<u4"
+                    ).tobytes()
                 continue
             keys.append((level, need))
-            devs.append(jnp.asarray(arr)[jnp.asarray(need)])
+            if plane:
+                devs.append(jnp.take(jnp.asarray(arr), jnp.asarray(need), axis=1).T)
+            else:
+                devs.append(jnp.asarray(arr)[jnp.asarray(need)])
 
         def fill(host_rows) -> None:
             for (level, need), rows in zip(keys, host_rows):

@@ -137,6 +137,35 @@ def _lagrange_coeffs(points: List[Tuple[int, int]]) -> List[int]:
     return coeffs
 
 
+@jax.jit
+def _words_to_limbs_jit(words: jnp.ndarray) -> jnp.ndarray:
+    """(4, n) little-endian u32 words -> (8, n) 16-bit limbs (on device)."""
+    parts = []
+    for k in range(4):
+        parts.append(words[k] & jnp.uint32(0xFFFF))
+        parts.append(words[k] >> jnp.uint32(16))
+    return jnp.stack(parts)
+
+
+def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
+    """[base^0 .. base^(count-1)] Montgomery, by doubling — trace-safe.
+
+    Same values as ops/ntt.py _powers_device (exact field math) but the
+    full-width doubling steps run the Pallas mont_mul: the jnp kernel
+    materializes ~50 full-width limb planes of XLA temp per multiply,
+    which at (8, 2^24) inside the combination mega-jit exhausts HBM.
+    """
+    one_m = jnp.asarray(int_to_limbs(R_MOD_P), dtype=jnp.uint32)
+    table = one_m.reshape(8, 1)
+    w = base_m.reshape(8, 1)
+    while table.shape[1] < count:
+        length = table.shape[1]
+        ext = fp.mont_mul(table, jnp.broadcast_to(w, (8, length)))
+        table = jnp.concatenate([table, ext], axis=1)
+        w = fp.mont_mul(w, w)
+    return table
+
+
 def _excluded_prod(x_cw: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
     """prod_r (x - root_r) over the excluded-row roots, one lax.scan."""
     f = x_cw.shape[-1]
@@ -761,24 +790,25 @@ class Stark:
         polynomial of degree <= degree_target (the FRI bound, so adding it
         to the combination preserves FRI acceptance).
 
-        Coefficients: 256-bit draws from a Philox stream keyed by
-        sha256(tag || seed), reduced mod p on device (bias ~2^-128; the
-        Philox algorithm is fixed, so proofs are reproducible given the
-        seed on any backend). The 256->mod-p fold runs vectorized:
-        X = hi*2^128 + lo with hi, lo < 2^128 < 2p canonicalized by one
-        conditional subtract each (fj.add with zero).
+        Coefficients: 256-bit draws from a threefry2x32 stream keyed by
+        sha256(tag || seed), generated ON DEVICE (jax.random — the
+        algorithm is specified and bit-stable across JAX backends, so
+        proofs stay reproducible given the seed anywhere; generating on
+        host and uploading cost tens of seconds at F = 2^24 over a
+        remote-device link). Reduction mod p is vectorized: 16x16-bit
+        draws form X = hi*2^128 + lo with hi, lo < 2^128 < 2p,
+        canonicalized by one conditional subtract each (fj.add with zero).
         """
         import hashlib
 
         f = self.fri_domain_length
         n = self.degree_target + 1
-        key = int.from_bytes(hashlib.sha256(_ZK_TAG + seed).digest()[:16], "little")
-        rng = np.random.Generator(np.random.Philox(key=key))
-        # Draws are < 2^16: ship them as uint16 (halves the host->device
-        # transfer, which dominates this phase over a remote link) and
-        # widen on device — bit-identical values.
-        raw_host = rng.integers(0, 1 << 16, size=(16, n), dtype=np.uint32)
-        raw = jnp.asarray(raw_host.astype(np.uint16)).astype(jnp.uint32)
+        digest = hashlib.sha256(_ZK_TAG + seed).digest()
+        key = jax.random.wrap_key_data(
+            jnp.asarray(np.frombuffer(digest[:8], dtype="<u4").copy()),
+            impl="threefry2x32",
+        )
+        raw = jax.random.bits(key, (16, n), dtype=jnp.uint32) & jnp.uint32(0xFFFF)
         z = fj.zeros((n,))
         lo = fj.add(raw[:8], z)
         hi = fj.add(raw[8:], z)
@@ -797,10 +827,16 @@ class Stark:
                         _randomizer(r, j).to_bytes(16, "little"), np.uint8
                     )
             all_rows = np.concatenate([trace, pad], axis=0)  # (O, w, 16)
-            return [
-                self.column_lde_limbs(bytes_to_limbs(all_rows[:, j, :]))
-                for j in range(w)
-            ]
+            # Ship packed 32-bit words, split into 16-bit limbs ON device:
+            # halves the host->device transfer (the bottleneck over a
+            # remote link — measured single-digit MB/s). Identical limbs
+            # to ops/limbs.py bytes_to_limbs (little-endian).
+            cols = []
+            for j in range(w):
+                words = np.ascontiguousarray(all_rows[:, j, :]).view("<u4").T
+                wd = jnp.asarray(np.ascontiguousarray(words))  # (4, O)
+                cols.append(self.column_lde_limbs(_words_to_limbs_jit(wd)))
+            return cols
         rows = [[int(v) % PRIME for v in row] for row in trace]
         for r in range(t_len, o):
             rows.append([_randomizer(r, j) for j in range(w)])
@@ -821,23 +857,28 @@ class Stark:
             e = self.expansion_shift
             f = self.fri_domain_length
 
-            @partial(jax.jit, static_argnames=("shifts",), donate_argnums=(0, 1))
-            def fn(
-                t_lde, constants, zt_inv, bq_std, zk_std,
-                alphas_m, betas_m, bases_m, offs_m, shifts,
-            ):
+            # Two jits, not one: the single mega-graph's peak (args +
+            # XLA temp) measured 14.5 GB at F = 2^24 — transition
+            # quotients and the weighted combination run back-to-back
+            # with everything donated, halving the concurrent footprint
+            # for one extra dispatch.
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def tq_fn(t_lde, constants, zt_inv):
                 nxt = [jnp.roll(t, -e, axis=1) for t in t_lde]
                 cons = list(air.eval_transition_device(list(t_lde), nxt, list(constants)))
-                tq = [fp.mont_mul(c, zt_inv) for c in cons]
+                return [fp.mont_mul(c, zt_inv) for c in cons]
+
+            @partial(jax.jit, static_argnames=("shifts",), donate_argnums=(0,))
+            def comb_fn(tq, bq_std, zk_std, alphas_m, betas_m, bases_m, offs_m, shifts):
                 distinct = tuple(sorted({s for s in shifts if s}))
                 tables = {}
                 for i, s in enumerate(distinct):
                     tables[s] = fp.mont_mul(
-                        nttmod._powers_device(bases_m[i], f),
+                        _powers_traced(bases_m[i], f),
                         jnp.broadcast_to(offs_m[i].reshape(8, 1), (8, f)),
                     )
                 comb = fp.to_mont(zk_std)
-                terms = tq + [fp.to_mont(b) for b in bq_std]
+                terms = list(tq) + [fp.to_mont(b) for b in bq_std]
                 for t_idx, s in enumerate(shifts):
                     alpha = jnp.broadcast_to(alphas_m[t_idx].reshape(8, 1), (8, f))
                     beta = jnp.broadcast_to(betas_m[t_idx].reshape(8, 1), (8, f))
@@ -847,6 +888,14 @@ class Stark:
                         lift = fp.add(alpha, beta)
                     comb = fp.add(comb, fp.mont_mul(lift, terms[t_idx]))
                 return comb
+
+            def fn(t_lde, constants, zt_inv, bq_std, zk_std,
+                   alphas_m, betas_m, bases_m, offs_m, shifts):
+                tq = tq_fn(t_lde, constants, zt_inv)
+                return comb_fn(
+                    tuple(tq), bq_std, zk_std, alphas_m, betas_m, bases_m,
+                    offs_m, shifts=shifts,
+                )
 
             self._fns["combine"] = fn
         return self._fns["combine"]

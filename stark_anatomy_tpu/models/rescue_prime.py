@@ -177,6 +177,18 @@ class RescuePrime:
         return np.array(rows, dtype=object)
 
     def chain_output(self, input_element: int, chain_length: int = 1) -> int:
+        """First state element after chain_length permutations.
+
+        Long chains read the native trace's last row (the Python loop
+        costs ~200us per round at 128-bit exponents — minutes at 2^20
+        rows); short chains keep the pure-Python path, which also serves
+        as the cross-check oracle in tests/test_native.py.
+        """
+        from stark_anatomy_tpu import native
+
+        if native.AVAILABLE and self.m == 2 and chain_length > 64:
+            trace = native.rescue_chain_trace_bytes(self, input_element, chain_length)
+            return int.from_bytes(trace[-1, 0].tobytes(), "little")
         state = [input_element % PRIME] + [0] * (self.m - 1)
         for _ in range(chain_length):
             state = self.permutation(state)

@@ -91,3 +91,39 @@ def test_ntt_pallas_matches_jnp_on_device():
     assert np.array_equal(got, want), "Pallas NTT != jnp NTT on device"
     back = np.asarray(ntp.intt(jnp.asarray(got)))
     assert np.array_equal(back, np.asarray(x)), "Pallas iNTT(NTT(x)) != x"
+
+
+def test_blake2b_pallas_matches_jnp_on_device():
+    # Interpret-mode execution of the unrolled compressor is impractically
+    # slow on CPU, so the kernel's only equality coverage is on-device.
+    from stark_anatomy_tpu.ops.blake2b import blake2b_u32
+    from stark_anatomy_tpu.ops.blake2b_pallas import blake2b_planes
+
+    rng = np.random.default_rng(29)
+    n = 1 << 16
+    for msg_len in (16, 32, 64, 128):
+        k = (msg_len + 3) // 4
+        words = rng.integers(0, 1 << 32, size=(n, k), dtype=np.uint64).astype(
+            np.uint32
+        )
+        ref = np.asarray(blake2b_u32(jnp.asarray(words), msg_len=msg_len))
+        got = np.asarray(blake2b_planes(jnp.asarray(words.T.copy()), msg_len)).T
+        assert np.array_equal(got, ref), f"pallas != jnp at msg_len={msg_len}"
+
+
+def test_fused_commit_matches_eager_on_device():
+    from stark_anatomy_tpu.iop.merkle import (
+        MerkleTree,
+        commit_columns_fused,
+        hash_felt_leaves,
+    )
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    rng = np.random.default_rng(31)
+    cols = [jnp.asarray(random_felt_limbs(rng, (1 << 16,))) for _ in range(2)]
+    eager = MerkleTree.commit(hash_felt_leaves(cols))
+    for store in (True, False):
+        fused = commit_columns_fused(cols, store_leaves=store)
+        assert fused.root == eager.root
+        for i in (0, 1, 40000, (1 << 16) - 1):
+            assert fused.open(i) == eager.open(i)
