@@ -314,6 +314,24 @@ class Stark:
     def __post_init__(self):
         if self.num_randomizers is None:
             self.num_randomizers = 4 * self.num_colinearity_checks
+        # Perf guard: the transition zerofier is (x^O - 1) divided by one
+        # (x - omicron^r) factor PER padding row past the trace end, so a
+        # trace that fills only part of the omicron domain turns the
+        # zerofier scan into thousands of full-codeword multiplies inside
+        # one dispatch (long enough to trip device watchdogs). Warn loudly;
+        # callers should size traces to nearly fill the power-of-two domain.
+        padding = self.omicron_domain_length - self.trace_length
+        if padding > 4096:
+            import warnings
+
+            warnings.warn(
+                f"trace fills {self.trace_length}/{self.omicron_domain_length} "
+                f"rows of the omicron domain; {padding} padding rows make the "
+                "transition-zerofier product scan proportionally long — size "
+                "the trace to nearly fill a power of two (RescuePrime: "
+                "chain = 2^k - 1)",
+                stacklevel=2,
+            )
 
     def _shard(self, arr):
         """Lay an (8, n) codeword out in contiguous blocks over the mesh.

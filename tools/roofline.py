@@ -63,17 +63,24 @@ BLAKE2B_COMPRESS_OPS = 5440
 # -- 1. empirical VPU u32 peak ----------------------------------------------
 
 
-def _vpu_kernel(x_ref, o_ref, *, iters: int):
+def _vpu_kernel(x_ref, o_ref, *, iters: int, lanes: int):
     a = x_ref[...]
     b = a | np.uint32(1)
-    acc = a
+    # `lanes` independent dependency chains: a single serial
+    # multiply-add chain measures instruction LATENCY, not throughput
+    # (round-2 fix: the serial version reported a "peak" the production
+    # NTT exceeded by 2x).
+    accs = [a + np.uint32(k) for k in range(lanes)]
     for _ in range(iters):
-        acc = acc * b + a  # 2 u32 ops per element per iteration
-    o_ref[...] = acc
+        accs = [acc * b + a for acc in accs]  # 2 u32 ops per element each
+    out = accs[0]
+    for acc in accs[1:]:
+        out ^= acc
+    o_ref[...] = out
 
 
-def measure_vpu_u32(iters: int = 512, rows: int = 512) -> float:
-    """Achieved u32 ops/s on a compute-bound multiply-add chain."""
+def measure_vpu_u32(iters: int = 256, rows: int = 512, lanes: int = 8) -> float:
+    """Achieved u32 ops/s on compute-bound independent multiply-add chains."""
     n = rows * 128 * 64  # 64 grid steps
     x = jnp.arange(n, dtype=jnp.uint32).reshape(64, rows, 128)
     spec = pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -81,7 +88,7 @@ def measure_vpu_u32(iters: int = 512, rows: int = 512) -> float:
     @jax.jit
     def run(x):
         return pl.pallas_call(
-            partial(_vpu_kernel, iters=iters),
+            partial(_vpu_kernel, iters=iters, lanes=lanes),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             grid=(64,),
             in_specs=[spec],
@@ -94,7 +101,7 @@ def measure_vpu_u32(iters: int = 512, rows: int = 512) -> float:
     for _ in range(reps):
         y = run(y)
     t1 = _sync(y)
-    ops = 2.0 * iters * n * reps
+    ops = 2.0 * iters * lanes * n * reps
     return ops / (t1 - t0)
 
 

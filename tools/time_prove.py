@@ -5,7 +5,16 @@ Proves a Rescue-Prime chain twice in one process (cold + warm) and prints
 the per-phase telemetry for the warm run, plus a dispatch count when
 STARK_ANATOMY_COUNT_DISPATCH=1.
 
-    python tools/time_prove.py --chain 9705    # ~2^18-row trace, F=2^22
+    python tools/time_prove.py --chain 8189     # 2^18-row trace, F=2^22
+    python tools/time_prove.py --chain 32765    # 2^20-row trace, F=2^24
+
+Sizing rule: T = 32*chain + 1 (RescuePrime.rows_per_perm = 32) and the
+omicron domain is next_pow2(T + 64 randomizer rows), so pick the largest
+chain with 32*chain + 65 <= 2^k. A chain that leaves a large padding gap
+(e.g. the old 27-rows/perm fixture 9705 -> 213k padding rows at O = 2^19)
+makes the transition-zerofier excluded-row product scan over every
+padding row — a single multi-minute dispatch that the TPU worker watchdog
+kills. Trace-domain utilisation is printed below; keep it near 100%.
 """
 
 from __future__ import annotations
@@ -24,7 +33,7 @@ os.environ.setdefault(
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chain", type=int, default=9705)
+    ap.add_argument("--chain", type=int, default=8189)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--verify", action="store_true")
     args = ap.parse_args()
@@ -36,12 +45,20 @@ def main() -> int:
     rp = RescuePrime()
     air = RescuePrimeAir(rp, chain_length=args.chain)
     stark = Stark(air, expansion_factor=4, num_colinearity_checks=16)
+    util = stark.trace_length / stark.omicron_domain_length
     print(
         f"T={stark.trace_length} w={stark.num_registers} "
         f"O=2^{stark.omicron_domain_length.bit_length()-1} "
         f"F=2^{stark.fri_domain_length.bit_length()-1} "
-        f"terms={air.num_constraints + stark.num_registers}"
+        f"terms={air.num_constraints + stark.num_registers} "
+        f"domain-util={util:.1%}"
     )
+    if util < 0.9:
+        print(
+            f"WARNING: {stark.omicron_domain_length - stark.trace_length} padding "
+            "rows -> the transition-zerofier scan multiplies one (8, F) term per "
+            "padding row; pick chain = 2^k - 1 (see module docstring)"
+        )
     t0 = time.time()
     trace = rp.trace_bytes(1234567890, chain_length=args.chain)
     output = rp.chain_output(1234567890, args.chain)
