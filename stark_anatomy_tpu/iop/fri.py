@@ -260,7 +260,13 @@ class Fri:
         )
         pending = None  # (round, tree, standard) whose D2H copies are in flight
         for r in range(resume_from, rounds):
-            if self.mesh is None and codeword.shape[-1] <= host_tail_n:
+            # The host tail applies on the mesh path too: np.asarray on a
+            # sharded array gathers it, and below host_tail_n the rounds
+            # are too small to shard profitably anyway — running them on
+            # device would compile a fold + sharded-commit graph PER
+            # remaining size for no wall-clock gain. Transcripts are
+            # bit-identical either way (exact field math both sides).
+            if codeword.shape[-1] <= host_tail_n:
                 self._host_tail(
                     codeword, r, rounds, omega, offset, codewords_dev, trees,
                     proof_stream, checkpoint_dir, checkpoint_meta,

@@ -328,8 +328,9 @@ class Stark:
                 f"trace fills {self.trace_length}/{self.omicron_domain_length} "
                 f"rows of the omicron domain; {padding} padding rows make the "
                 "transition-zerofier product scan proportionally long — size "
-                "the trace to nearly fill a power of two (RescuePrime: "
-                "chain = 2^k - 1)",
+                "the trace so trace_length + num_randomizers nearly fills a "
+                "power of two (RescuePrime with 64 randomizers: the largest "
+                "chain with 32*chain + 65 <= 2^k, e.g. 8189, 32765)",
                 stacklevel=2,
             )
 

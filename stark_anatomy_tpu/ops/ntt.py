@@ -6,7 +6,9 @@ polynomial layer the STARK stack needs, TPU-first:
 - codewords are Montgomery-form limb arrays of shape ``(8, n)``
   (ops/limbs.py); all butterflies are vectorized VPU ops, no scalar loops;
 - iterative decimation-in-time over the 2-adic subgroup of F_p
-  (2-adicity 119, ops/field.py), bit-reversal as one precomputed gather;
+  (2-adicity 119, ops/field.py), in a self-sorting constant-geometry
+  form (one lax.scan stage body — no bit-reversal pass, no per-stage
+  graph unrolling);
 - twiddle tables are built ON DEVICE by repeated doubling (log n batched
   Montgomery multiplies) — no host big-int loops on the hot path;
 - low-degree extension evaluates on a coset offset*<omega_L> so the LDE
@@ -61,18 +63,37 @@ def bit_reverse_indices(n: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("count",))
 def _powers_device(base_mont: jax.Array, count: int) -> jax.Array:
-    """[1, w, w^2, ..., w^(count-1)] in Montgomery form via doubling.
+    """[1, w, w^2, ..., w^(count-1)] in Montgomery form, fixed-shape scan.
 
-    count must be a power of two. log2(count) batched mont_muls total.
+    count must be a power of two. powers[i] = prod over set bits b of i of
+    w^(2^b): one lax.scan over log2(count) steps, each a full-width
+    mont_mul + select. Same exact values as any other construction
+    (mont_mul is canonical-in/canonical-out, so w^i has one limb image);
+    the scan keeps the compiled graph one-step-sized — the former
+    unrolled doubling chain cost tens of seconds of XLA:CPU compile per
+    distinct count.
     """
     one_m = jnp.asarray(int_to_limbs((1 << 128) % PRIME), dtype=jnp.uint32)
-    table = one_m.reshape(NUM_LIMBS, 1)
-    w_k = base_mont.reshape(NUM_LIMBS, 1)  # w^(2^k) after k doublings... w^len
-    while table.shape[1] < count:
-        # table holds [w^0 .. w^(L-1)]; w_k holds w^L; extend to 2L.
-        table = jnp.concatenate([table, fj.mont_mul(table, w_k)], axis=1)
+    if count == 1:
+        return one_m.reshape(NUM_LIMBS, 1)
+    bits = count.bit_length() - 1
+    idx = jnp.arange(count, dtype=jnp.uint32)
+    acc = jnp.tile(one_m.reshape(NUM_LIMBS, 1), (1, count))
+
+    def step(carry, b):
+        acc, w_k = carry
+        sel = ((idx >> b) & jnp.uint32(1)) != 0
+        ext = fj.mont_mul(acc, jnp.broadcast_to(w_k, acc.shape))
+        acc = jnp.where(sel[None, :], ext, acc)
         w_k = fj.mont_mul(w_k, w_k)
-    return table
+        return (acc, w_k), None
+
+    (acc, _), _ = jax.lax.scan(
+        step,
+        (acc, base_mont.reshape(NUM_LIMBS, 1)),
+        jnp.arange(bits, dtype=jnp.uint32),
+    )
+    return acc
 
 
 _TWIDDLE_CACHE: dict = {}
@@ -114,25 +135,45 @@ def powers(base: int, count: int) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("stages",))
 def _ntt_core(x: jax.Array, tw: jax.Array, stages: int) -> jax.Array:
-    """DIT butterflies on bit-reversed input -> natural-order output.
+    """Constant-geometry (Pease-style, self-sorting) DIT butterflies.
 
-    x: (8, *batch, n) Montgomery form, already bit-reverse permuted along
-    the last axis; the transform runs over the last axis, vectorized over
-    any leading batch dims. tw: (8, n//2) twiddles [w^0 .. w^(n/2-1)].
+    x: (8, *batch, n) Montgomery form in NATURAL order; output is the
+    natural-order transform (eval[k] = P(omega^k)). tw: (8, n//2)
+    twiddles [w^0 .. w^(n/2-1)].
+
+    Every stage has the SAME shape of work — gather the butterfly operand
+    pairs, multiply by a gathered twiddle row, write sums to the low half
+    and differences to the high half — so the whole transform is ONE
+    lax.scan over a per-stage halving stride, and the compiled graph is
+    one stage-body big (the former stage-unrolled form took ~25-55s of
+    XLA:CPU compile per distinct shape; this compiles in ~2s).
+
+    Derivation: with m = 2^s subtransform results laid out k-major
+    (position = k * (n/m) + b for subproblem b), the DIT combine step
+    pairs positions (i', i' + halfc) where halfc = n/(2m) and
+    i' = ((i & ~mask) << 1) | (i & mask), mask = halfc - 1, writing
+    E + w^(i & ~mask) * O to position i and E - ... to i + n/2. The
+    identity starts at m = 1 (natural input) and ends at m = n (natural
+    output), with no separate bit-reversal pass. Outputs are
+    bit-identical to any correct radix-2 NTT (exact field math, canonical
+    Montgomery representatives).
     """
     n = x.shape[-1]
-    lead = x.shape[:-1]
-    ones = (1,) * (len(lead) - 1)
-    for s in range(1, stages + 1):
-        m = 1 << s
-        stride = n // m
-        w = tw[:, ::stride][:, : m // 2].reshape((NUM_LIMBS,) + ones + (1, m // 2))
-        xs = x.reshape(lead + (n // m, 2, m // 2))
-        even, odd = xs[..., 0, :], xs[..., 1, :]
-        t = fj.mont_mul(odd, jnp.broadcast_to(w, odd.shape))
-        x = jnp.concatenate([fj.add(even, t), fj.sub(even, t)], axis=-1).reshape(
-            lead + (n,)
-        )
+    half = n // 2
+    i = jnp.arange(half, dtype=jnp.uint32)
+    wshape = (NUM_LIMBS,) + (1,) * (x.ndim - 2) + (half,)
+    halfcs = jnp.asarray([n >> (s + 1) for s in range(stages)], dtype=jnp.uint32)
+
+    def stage(x, halfc):
+        mask = halfc - jnp.uint32(1)
+        e_idx = ((i & ~mask) << jnp.uint32(1)) | (i & mask)
+        e = jnp.take(x, e_idx, axis=-1)
+        o = jnp.take(x, e_idx + halfc, axis=-1)
+        w = jnp.take(tw, i & ~mask, axis=-1).reshape(wshape)
+        t = fj.mont_mul(o, jnp.broadcast_to(w, o.shape))
+        return jnp.concatenate([fj.add(e, t), fj.sub(e, t)], axis=-1), None
+
+    x, _ = jax.lax.scan(stage, x, halfcs)
     return x
 
 
@@ -156,9 +197,9 @@ def ntt_jnp(coeffs_mont: jax.Array) -> jax.Array:
         raise ValueError(f"NTT size must be a power of two, got {n}")
     if n == 1:
         return coeffs_mont
-    rev = jnp.asarray(bit_reverse_indices(n))
-    x = jnp.take(coeffs_mont, rev, axis=-1)
-    return _ntt_core(x, jnp.asarray(_twiddles(n, inverse=False)), n.bit_length() - 1)
+    return _ntt_core(
+        coeffs_mont, jnp.asarray(_twiddles(n, inverse=False)), n.bit_length() - 1
+    )
 
 
 def intt_jnp(evals_mont: jax.Array) -> jax.Array:
@@ -168,9 +209,9 @@ def intt_jnp(evals_mont: jax.Array) -> jax.Array:
         raise ValueError(f"NTT size must be a power of two, got {n}")
     if n == 1:
         return evals_mont
-    rev = jnp.asarray(bit_reverse_indices(n))
-    x = jnp.take(evals_mont, rev, axis=-1)
-    y = _ntt_core(x, jnp.asarray(_twiddles(n, inverse=True)), n.bit_length() - 1)
+    y = _ntt_core(
+        evals_mont, jnp.asarray(_twiddles(n, inverse=True)), n.bit_length() - 1
+    )
     n_inv_mont = fj.full((1,) * (y.ndim - 1), finv(n), mont=True)
     return fj.mont_mul(y, jnp.broadcast_to(n_inv_mont, y.shape))
 

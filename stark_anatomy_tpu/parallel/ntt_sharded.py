@@ -34,6 +34,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stark_anatomy_tpu.ops import field_jnp as fj
@@ -49,18 +50,19 @@ if _shard_map is None:  # pragma: no cover - jax version fallback
 _BUILT: Dict[Tuple, object] = {}
 
 
-@partial(jax.jit, static_argnames=("n2", "s", "inverse"))
 def _cross_twiddles(n2: int, s: int, inverse: bool) -> jax.Array:
-    """(8, n2, S) Montgomery table T[:, i2, k1] = w^(+-i2*k1), on device."""
+    """(8, n2, S) Montgomery table T[:, i2, k1] = w^(+-i2*k1), on device.
+
+    One gather from the (8, n) powers table at host-precomputed indices
+    (i2*k1 mod n) — no per-column multiply chain to compile.
+    """
     n = n2 * s
     w = primitive_root_of_unity(n)
     if inverse:
         w = finv(w)
-    a = nttmod.powers(w, n2)  # (8, n2): w^(i2)
-    cols = [nttmod.powers(1, n2)]  # w^0 column
-    for _ in range(1, s):
-        cols.append(fj.mont_mul(cols[-1], a))
-    return jnp.stack(cols, axis=-1)
+    tab = nttmod.powers(w, n)  # (8, n): w^k
+    idx = (np.outer(np.arange(n2, dtype=np.int64), np.arange(s, dtype=np.int64)) % n)
+    return jnp.take(tab, jnp.asarray(idx.astype(np.int32)), axis=-1)
 
 
 def _local_fourstep(x_local: jax.Array, tw_local: jax.Array, s: int, inverse: bool):

@@ -11,10 +11,11 @@ systolic array would run at 1/B utilization).
 
 This probe measures the one primitive such a matmul-NTT needs: an EXACT
 unsigned-integer matmul on the MXU. 16-bit limbs are split into two
-8-bit digits; each digit pair multiplies exactly in bfloat16 (values
-< 256 are exact in bf16), and a K<=256 contraction of 8x8-bit products
-stays under 2^24, so float32 MXU accumulation is exact. One u16xu16->u32
-matmul = 4 digit matmuls recombined with u32 shifts.
+8-bit digits; digit values < 256 are exactly representable in bfloat16,
+and the MXU forms their products and accumulates in float32
+(preferred_element_type=float32), so a K<=256 contraction of 8x8-bit
+products stays under 2^24 and is exact. One u16xu16->u32 matmul = 4
+digit matmuls recombined with u32 shifts.
 
 Reports:
   - exactness vs a numpy integer matmul (hard assert);
@@ -95,7 +96,11 @@ def main() -> None:
     t0 = _sync(y)
     reps = 32
     for _ in range(reps):
-        y = u16_matmul_mxu(a, jnp.broadcast_to(y[:K, :N], (K, N)))
+        # Feed the output back as the next b operand, cast to uint16 so the
+        # loop reuses the compilation warmed above (a uint32 operand would
+        # retrace + recompile inside the timed region and benchmark an
+        # unvalidated uint32-digit variant).
+        y = u16_matmul_mxu(a, y[:K, :N].astype(jnp.uint16))
     t1 = _sync(y)
     dt = (t1 - t0) / reps
     limb_macs = M * N * K / dt

@@ -57,7 +57,8 @@ def main() -> int:
         print(
             f"WARNING: {stark.omicron_domain_length - stark.trace_length} padding "
             "rows -> the transition-zerofier scan multiplies one (8, F) term per "
-            "padding row; pick chain = 2^k - 1 (see module docstring)"
+            "padding row; pick the largest chain with 32*chain + 65 <= 2^k "
+            "(e.g. 8189, 32765 — see module docstring)"
         )
     t0 = time.time()
     trace = rp.trace_bytes(1234567890, chain_length=args.chain)
