@@ -29,3 +29,26 @@ Rust reference library `stark-anat` (greged93/stark-anatomy):
 __version__ = "0.1.0"
 
 from stark_anatomy_tpu.ops.field import PRIME, FieldElement  # noqa: F401
+
+
+def clear_table_caches() -> None:
+    """Release every module-level twiddle/domain table cache.
+
+    Cache policy: precomputed tables (NTT twiddles, Pallas stage tables,
+    FRI inverse-domain tables, compiled sharded-NTT closures) are cached
+    per distinct (size, direction) key for the life of the process —
+    the right trade for a prover that hammers a handful of domain sizes.
+    A long-lived service proving MANY distinct sizes should call this
+    between size regimes to drop the accumulated host/device arrays
+    (the hundreds-of-MB scale arrives only at 2^22+ domains; tables are
+    rebuilt on demand in milliseconds-to-seconds).
+    """
+    from stark_anatomy_tpu.iop import fri as _fri
+    from stark_anatomy_tpu.ops import ntt as _ntt
+    from stark_anatomy_tpu.ops import ntt_pallas as _ntp
+    from stark_anatomy_tpu.parallel import ntt_sharded as _nts
+
+    _ntt._TWIDDLE_CACHE.clear()
+    _ntp._STAGE_TABLES.clear()
+    _nts._BUILT.clear()
+    _fri._inv_domain_mont.cache_clear()

@@ -1,5 +1,6 @@
-"""Multi-device scale-out: mesh, sharded NTT, sharded Merkle commitment."""
+"""Multi-device scale-out: mesh, sharded NTT/Merkle, multi-host init."""
 
+from stark_anatomy_tpu.parallel import distributed  # noqa: F401
 from stark_anatomy_tpu.parallel.mesh import (  # noqa: F401
     SHARD_AXIS,
     codeword_sharding,

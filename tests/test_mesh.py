@@ -100,6 +100,28 @@ def test_sharded_ntt_rejects_indivisible_shards(mesh8):
         sharded_ntt(jax.device_put(x, codeword_sharding(mesh8)), mesh8)
 
 
+def test_distributed_init_single_process(monkeypatch):
+    # Single-process: init() is a no-op returning False; the mesh path
+    # needs no multi-controller service. Controller rank is 0.
+    from stark_anatomy_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed.init() is False
+    assert distributed.process_index() == 0
+    assert distributed.is_controller()
+
+
+def test_distributed_init_requires_coordinator(monkeypatch):
+    # Asking for a multi-process run without a coordinator address is a
+    # configuration error, not a silent single-process fallback.
+    from stark_anatomy_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    with pytest.raises(ValueError, match="coordinator"):
+        distributed.init(num_processes=4)
+
+
 def test_full_prove_on_mesh_bit_identical(mesh8):
     # The north-star integration: Stark.prove(mesh=...) runs trace-LDE,
     # quotients, combination, every FRI fold, and every Merkle commit
