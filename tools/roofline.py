@@ -160,6 +160,29 @@ def measure_blake2b(log2n: int = 20, reps: int = 5) -> float:
     return n * reps / (t1 - t0)  # single-compression hashes/s
 
 
+def measure_blake2b_pallas(log2n: int = 22, reps: int = 5) -> float | None:
+    """The production Merkle-level compressor (ops/blake2b_pallas.py),
+    plane-major layout as in iop/merkle.py. None off-TPU."""
+    from stark_anatomy_tpu.ops import blake2b_pallas as bp
+
+    n = 1 << log2n
+    if not bp.supported(n, 128):
+        return None
+    msg = jnp.arange(32 * n, dtype=jnp.uint32).reshape(32, n)
+
+    @jax.jit
+    def level(planes):
+        d = bp.blake2b_planes(planes, 128)  # (16, n)
+        return jnp.concatenate([d, d], axis=0)  # feed back as (32, n)
+
+    y = level(msg)
+    t0 = _sync(y)
+    for _ in range(reps):
+        y = level(y)
+    t1 = _sync(y)
+    return n * reps / (t1 - t0)
+
+
 def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})")
@@ -183,10 +206,19 @@ def main() -> None:
     h = measure_blake2b()
     hash_ops = h * BLAKE2B_COMPRESS_OPS
     print(
-        f"Blake2b-512 @ 2^20 leaves: {h:.3e} hashes/s = {hash_ops:.3e} u32 ops/s "
+        f"Blake2b-512 (jnp) @ 2^20 leaves: {h:.3e} hashes/s = {hash_ops:.3e} u32 ops/s "
         f"= {100 * hash_ops / vpu:.1f}% of empirical VPU peak "
         f"({BLAKE2B_COMPRESS_OPS} ops/compression)"
     )
+
+    hp = measure_blake2b_pallas()
+    if hp is not None:
+        hp_ops = hp * BLAKE2B_COMPRESS_OPS
+        print(
+            f"Blake2b-512 (Pallas, production Merkle path) @ 2^22 msgs: "
+            f"{hp:.3e} hashes/s = {hp_ops:.3e} u32 ops/s "
+            f"= {100 * hp_ops / vpu:.1f}% of empirical VPU peak"
+        )
 
 
 if __name__ == "__main__":
