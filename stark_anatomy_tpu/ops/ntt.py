@@ -63,19 +63,38 @@ def bit_reverse_indices(n: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("count",))
 def _powers_device(base_mont: jax.Array, count: int) -> jax.Array:
-    """[1, w, w^2, ..., w^(count-1)] in Montgomery form, fixed-shape scan.
+    """[1, w, w^2, ..., w^(count-1)] in Montgomery form (power-of-two count).
 
-    count must be a power of two. powers[i] = prod over set bits b of i of
-    w^(2^b): one lax.scan over log2(count) steps, each a full-width
-    mont_mul + select. Same exact values as any other construction
-    (mont_mul is canonical-in/canonical-out, so w^i has one limb image);
-    the scan keeps the compiled graph one-step-sized — the former
-    unrolled doubling chain cost tens of seconds of XLA:CPU compile per
-    distinct count.
+    Two equivalent constructions (mont_mul is canonical-in/canonical-out,
+    so w^i has exactly one limb image — the choice cannot change a bit):
+
+    - TPU: unrolled doubling — table [w^0..w^(L-1)] extends to 2L by one
+      Pallas mont_mul per step. Minimal FLOPs (sum of widths = count
+      total products) and a tiny graph (one custom call per step), so
+      both runtime and compile stay cheap: the 2^24 table builds in tens
+      of milliseconds.
+    - elsewhere (XLA:CPU — the test/virtual-mesh backend): a fixed-shape
+      lax.scan over the bit decomposition, powers[i] = prod over set
+      bits b of w^(2^b). log2(count)-fold more multiplies, but the
+      unrolled jnp doubling graph cost tens of seconds of XLA:CPU
+      compile per distinct count, which dominated the suite and the
+      driver dry run; the scan compiles in ~1s.
     """
     one_m = jnp.asarray(int_to_limbs((1 << 128) % PRIME), dtype=jnp.uint32)
     if count == 1:
         return one_m.reshape(NUM_LIMBS, 1)
+
+    from stark_anatomy_tpu.ops import field_pallas as fp
+
+    if fp._on_tpu():
+        table = one_m.reshape(NUM_LIMBS, 1)
+        w_k = base_mont.reshape(NUM_LIMBS, 1)
+        while table.shape[1] < count:
+            ext = fp.mont_mul(table, jnp.broadcast_to(w_k, table.shape))
+            table = jnp.concatenate([table, ext], axis=1)
+            w_k = fp.mont_mul(w_k, w_k)
+        return table
+
     bits = count.bit_length() - 1
     idx = jnp.arange(count, dtype=jnp.uint32)
     acc = jnp.tile(one_m.reshape(NUM_LIMBS, 1), (1, count))
