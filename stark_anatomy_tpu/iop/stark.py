@@ -148,22 +148,47 @@ def _words_to_limbs_jit(words: jnp.ndarray) -> jnp.ndarray:
 
 
 def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
-    """[base^0 .. base^(count-1)] Montgomery, by doubling — trace-safe.
+    """[base^0 .. base^(count-1)] Montgomery — trace-safe power table.
 
-    Same values as ops/ntt.py _powers_device (exact field math) but the
-    full-width doubling steps run the Pallas mont_mul: the jnp kernel
-    materializes ~50 full-width limb planes of XLA temp per multiply,
+    TPU: doubling over the Pallas mont_mul — the jnp kernel would
+    materialize ~50 full-width limb planes of XLA temp per multiply,
     which at (8, 2^24) inside the combination mega-jit exhausts HBM.
+    CPU (tests force the fused path at tiny domains): a fixed-shape
+    bit-decomposition scan — the unrolled jnp doubling chain added tens
+    of seconds of XLA:CPU compile to the mega-jit. Identical values
+    either way (canonical Montgomery representatives; same exact field
+    math as ops/ntt.py _powers_device).
     """
     one_m = jnp.asarray(int_to_limbs(R_MOD_P), dtype=jnp.uint32)
-    table = one_m.reshape(8, 1)
-    w = base_m.reshape(8, 1)
-    while table.shape[1] < count:
-        length = table.shape[1]
-        ext = fp.mont_mul(table, jnp.broadcast_to(w, (8, length)))
-        table = jnp.concatenate([table, ext], axis=1)
-        w = fp.mont_mul(w, w)
-    return table
+    if count == 1:
+        return one_m.reshape(8, 1)
+    if fp._on_tpu():
+        table = one_m.reshape(8, 1)
+        w = base_m.reshape(8, 1)
+        while table.shape[1] < count:
+            length = table.shape[1]
+            ext = fp.mont_mul(table, jnp.broadcast_to(w, (8, length)))
+            table = jnp.concatenate([table, ext], axis=1)
+            w = fp.mont_mul(w, w)
+        return table
+    bits = count.bit_length() - 1
+    idx = jnp.arange(count, dtype=jnp.uint32)
+    acc = jnp.tile(one_m.reshape(8, 1), (1, count))
+
+    def step(carry, b):
+        acc, w_k = carry
+        sel = ((idx >> b) & jnp.uint32(1)) != 0
+        ext = fj.mont_mul(acc, jnp.broadcast_to(w_k, acc.shape))
+        acc = jnp.where(sel[None, :], ext, acc)
+        w_k = fj.mont_mul(w_k, w_k)
+        return (acc, w_k), None
+
+    (acc, _), _ = jax.lax.scan(
+        step,
+        (acc, base_m.reshape(8, 1)),
+        jnp.arange(bits, dtype=jnp.uint32),
+    )
+    return acc
 
 
 def _excluded_prod(x_cw: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
