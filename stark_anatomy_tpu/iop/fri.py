@@ -153,6 +153,27 @@ class Fri:
                 f"8*num_colinearity_tests={8 * self.num_colinearity_tests}"
             )
 
+    def _gather_host(self, arr) -> np.ndarray:
+        """Sharded/device array -> host numpy, safe under multi-process.
+
+        np.asarray on a mesh-sharded array requires every shard to be
+        process-local; on a multi-host pod the shards live on other
+        processes and it raises (ADVICE r3). Replicating through a jitted
+        identity first (XLA lowers it to an all-gather along the shard
+        axis) makes the value fully addressable everywhere. Single-process
+        runs skip the extra dispatch; host numpy passes straight through.
+        """
+        if isinstance(arr, np.ndarray):
+            return arr
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            arr = jax.jit(
+                lambda x: x,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )(arr)
+        return np.asarray(arr)
+
     @property
     def omega(self) -> int:
         return primitive_root_of_unity(self.domain_length)
@@ -314,7 +335,7 @@ class Fri:
             codewords_dev[pr] = np.asarray(pstd)
             ptree.replace_leaf_columns([codewords_dev[pr]])
 
-        last_values = limbs_to_ints(np.asarray(codewords_dev[-1]))
+        last_values = limbs_to_ints(self._gather_host(codewords_dev[-1]))
         proof_stream.push(
             {"fri_last_codeword": [felt_to_item(int(v)) for v in last_values]}
         )
@@ -389,7 +410,9 @@ class Fri:
         from stark_anatomy_tpu.ops.limbs import ints_to_limbs
         from stark_anatomy_tpu.utils.encoding import hash_felts as _hash_felts
 
-        values = [int(v) for v in limbs_to_ints(np.asarray(fp.from_mont(codeword_mont)))]
+        values = [
+            int(v) for v in limbs_to_ints(self._gather_host(fp.from_mont(codeword_mont)))
+        ]
         for r in range(start_round, rounds):
             limbs = ints_to_limbs(values)  # (8, n) np — query-phase format
             leaves = np.stack(

@@ -159,6 +159,11 @@ def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
     either way (canonical Montgomery representatives; same exact field
     math as ops/ntt.py _powers_device).
     """
+    # Same top-bit-dropping hazard as ops/ntt.py _powers_device: the scan
+    # length below is count.bit_length()-1 bits (ADVICE r3). Only called
+    # with the power-of-two fri_domain_length, but enforce it.
+    if count & (count - 1):
+        raise ValueError(f"count must be a power of two, got {count}")
     one_m = jnp.asarray(int_to_limbs(R_MOD_P), dtype=jnp.uint32)
     if count == 1:
         return one_m.reshape(8, 1)
@@ -839,7 +844,12 @@ class Stark:
         algorithm is specified and bit-stable across JAX backends, so
         proofs stay reproducible given the seed anywhere; generating on
         host and uploading cost tens of seconds at F = 2^24 over a
-        remote-device link). Reduction mod p is vectorized: 16x16-bit
+        remote-device link). This is the one place proof bytes depend on
+        jax internals rather than our own exact integer math — the reason
+        requirements.txt pins jax/jaxlib exactly: a (spec-violating)
+        threefry regression in a jax bump would flip deterministic-mode
+        proof bytes, and the golden-proof test would fire with no local
+        diff to blame. Reduction mod p is vectorized: 16x16-bit
         draws form X = hi*2^128 + lo with hi, lo < 2^128 < 2p,
         canonicalized by one conditional subtract each (fj.add with zero).
         """

@@ -80,6 +80,12 @@ def _powers_device(base_mont: jax.Array, count: int) -> jax.Array:
       compile per distinct count, which dominated the suite and the
       driver dry run; the scan compiles in ~1s.
     """
+    # The scan below reads exactly count.bit_length()-1 bits, which
+    # silently drops the top bit for non-power-of-two counts (count=5
+    # would yield powers[4] = 1). powers() rounds up before calling, but
+    # enforce it here so a future direct caller fails loudly (ADVICE r3).
+    if count & (count - 1):
+        raise ValueError(f"count must be a power of two, got {count}")
     one_m = jnp.asarray(int_to_limbs((1 << 128) % PRIME), dtype=jnp.uint32)
     if count == 1:
         return one_m.reshape(NUM_LIMBS, 1)

@@ -5,10 +5,16 @@ this subsystem is north-star-driven (SURVEY.md section 5.8): on a TPU pod
 slice every host runs the SAME program, `jax.distributed.initialize`
 wires the hosts into one XLA runtime, and `jax.devices()` then returns
 the global device list so `parallel.mesh.make_mesh()` spans the slice.
-The sharded prover (`Stark(..., mesh=...)`) needs no other changes —
-`shard_map` collectives (the four-step NTT's all-to-alls, the sharded
-Merkle reduction) ride ICI across hosts exactly as they do across the
-chips of one host.
+The sharded prover (`Stark(..., mesh=...)`) then runs its device phases
+unchanged — `shard_map` collectives (the four-step NTT's all-to-alls, the
+sharded Merkle reduction) ride ICI across hosts exactly as they do across
+the chips of one host — and its host-side phases (the FRI host tail, the
+query-phase gathers, Merkle host tops) all-gather sharded values to a
+fully-addressable replicated form first (iop/fri.py:_gather_host) so no
+process ever np.asarray's an array it only partially holds. Multi-host
+runs are hardware-blocked in this environment: the host-gather path is
+exercised single-process (it is a no-op device_put there), the
+process_count() > 1 branch is not.
 
 Deployment recipe (one process per host):
 
@@ -35,6 +41,16 @@ import os
 _INITIALIZED = False
 
 
+def _runtime_already_initialized() -> bool:
+    """True when jax.distributed.initialize has already run in-process."""
+    try:
+        from jax._src import distributed as _jdist
+
+        return _jdist.global_state.client is not None
+    except Exception:  # pragma: no cover - private-API drift
+        return False
+
+
 def init(
     coordinator_address: str | None = None,
     num_processes: int | None = None,
@@ -58,6 +74,13 @@ def init(
     global _INITIALIZED
     if _INITIALIZED:
         return True
+    # A framework wrapper (or the user) may have called
+    # jax.distributed.initialize already; re-initializing raises
+    # RuntimeError. Detect the live client instead of relying only on our
+    # own flag (ADVICE r3).
+    if _runtime_already_initialized():
+        _INITIALIZED = True
+        return True
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
@@ -79,14 +102,18 @@ def init(
 
     import jax
 
-    if auto and coordinator_address is None:
-        jax.distributed.initialize()  # full TPU-metadata auto-detection
-    else:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    try:
+        if auto and coordinator_address is None:
+            jax.distributed.initialize()  # full TPU-metadata auto-detection
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except RuntimeError as exc:  # belt-and-braces vs _runtime_already_initialized
+        if "already" not in str(exc).lower():
+            raise
     _INITIALIZED = True
     return True
 

