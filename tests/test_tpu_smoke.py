@@ -127,3 +127,58 @@ def test_fused_commit_matches_eager_on_device():
         assert fused.root == eager.root
         for i in (0, 1, 40000, (1 << 16) - 1):
             assert fused.open(i) == eager.open(i)
+
+
+def test_mesh_body_kernels_match_jnp_on_device():
+    # The mesh-path per-device bodies (VERDICT r3 item 1) on real
+    # hardware: the grouped column-NTT kernel, the tables-threaded row
+    # NTT, and the sharded-Merkle local-levels pipeline — each against
+    # its jnp oracle at a production-like local shape. (shard_map itself
+    # needs >1 chip; the bodies are the kernel-bearing part.)
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import ntt as nttmod
+    from stark_anatomy_tpu.ops import ntt_pallas as ntp
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    rng = np.random.default_rng(37)
+    s, n2 = 8, 1 << 17
+    # Row transform via eagerly built stage tables (what _row_transform
+    # threads through the mesh).
+    x = fj.to_mont(jnp.asarray(random_felt_limbs(rng, (n2,))))
+    early, late = ntp.stage_tables(n2, False)
+    got = np.asarray(ntp.ntt_with_tables(x, early, late, False))
+    want = np.asarray(nttmod.ntt_jnp(x))
+    assert np.array_equal(got, want), "ntt_with_tables != jnp on device"
+
+    # Grouped size-S column transforms: n2/s independent size-s NTTs in
+    # one early-kernel pass (what _col_transform dispatches).
+    from stark_anatomy_tpu.ops.ntt import bit_reverse_indices
+
+    y = fj.to_mont(jnp.asarray(random_felt_limbs(rng, (n2 // s, s))))
+    want3 = np.asarray(nttmod.ntt_jnp(y))  # batched over axis 1
+    rev = jnp.asarray(bit_reverse_indices(s).astype(np.int32))
+    flat = jnp.take(y, rev, axis=2).reshape(8, n2)
+    early_s, _ = ntp.stage_tables(s, False)
+    got3 = np.asarray(
+        ntp.grouped_ntt_with_tables(flat, early_s, s, False)
+    ).reshape(8, n2 // s, s)
+    assert np.array_equal(got3, want3), "grouped column NTT != jnp on device"
+
+
+def test_sharded_merkle_body_matches_jnp_on_device():
+    from stark_anatomy_tpu.iop.merkle import MerkleTree, hash_felt_leaves
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+    from stark_anatomy_tpu.parallel import merkle_sharded as ms
+
+    rng = np.random.default_rng(41)
+    per_shard = 1 << 14
+    cols = [jnp.asarray(random_felt_limbs(rng, (per_shard,))) for _ in range(2)]
+    reference = MerkleTree.commit(hash_felt_leaves(cols))
+    levels_per_shard = per_shard.bit_length() - 1
+    flags = ms._plane_flags(per_shard, 32, True, levels_per_shard)
+    assert flags[0]
+    got = ms._local_levels(*cols, flags=flags, msg_len=32, interp=False)
+    for lv, f in enumerate(flags):
+        want = np.asarray(reference.levels[lv], dtype="<u4")
+        arr = np.asarray(got[lv]).astype("<u4")
+        np.testing.assert_array_equal(arr.T if f else arr, want)

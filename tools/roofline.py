@@ -183,6 +183,70 @@ def measure_blake2b_pallas(log2n: int = 22, reps: int = 5) -> float | None:
     return n * reps / (t1 - t0)
 
 
+# -- sharded-NTT communication model ----------------------------------------
+#
+# Published per-chip link numbers (jax-ml.github.io/scaling-book): v5e ICI
+# 4.5e10 B/s unidirectional per chip per torus axis; v5p 9e10 B/s. Hosts
+# WITHIN a pod (v5e: up to 256 chips, v5p: up to 8960) are on the ICI
+# torus — "2 hosts" rides ICI, not ethernet; DCN (~2.5e10 B/s per HOST of
+# 8 chips, i.e. ~3.1e9 per chip, on 2x100GbE) applies only across pods.
+# These are model PARAMETERS; the all-to-all counts are pinned
+# structurally in tests/test_mesh.py::test_sharded_ntt_all_to_all_counts.
+FABRICS = (("v5e-ICI", 4.5e10), ("v5p-ICI", 9.0e10), ("x-pod-DCN", 2.5e10 / 8))
+FELT_BYTES_ON_WIRE = 32  # 8 u32 limb planes
+
+
+def comm_model(
+    log2n: int = 24,
+    bfly_per_s: float = 2.15e9,
+    shard_counts=(4, 8, 16, 32, 64),
+) -> None:
+    """Analytic bytes-on-wire + predicted scaling efficiency table.
+
+    The LDE chain (parallel/ntt_sharded.sharded_lde) is the
+    communication-heavy prover unit: iNTT natural->cyclic (2 all-to-alls
+    of the omicron codeword) + coset NTT cyclic->natural (2 all-to-alls
+    of the FRI codeword). Each tiled all-to-all moves (S-1)/S of every
+    device's local bytes across the fabric; per chip that is
+    local_bytes * (S-1)/S through its own links, so per LDE
+
+        t_comm  = 2 * 1.25 * local_bytes * (S-1)/S / link_bw
+        t_comp  = 1.25 * (n/S) * log2(n) / bfly_per_s   (measured kernel rate)
+        eff(S)  = t_comp / (t_comp + t_comm)            (no overlap assumed)
+
+    (x1.25: the iNTT half runs on the n/4 omicron domain at blowup 4.)
+    NTT-only efficiency is the worst case — Merkle commits, quotient
+    arithmetic and FRI folds scale with zero all-to-alls, so full-prove
+    efficiency is strictly higher than this table.
+    """
+    n = 1 << log2n
+    print(
+        f"\nsharded-LDE comm model @ n=2^{log2n} "
+        f"(4 all-to-alls/LDE, {FELT_BYTES_ON_WIRE} B/element on wire, "
+        f"kernel rate {bfly_per_s:.2e} bfly/s):"
+    )
+    hdr = "  S    bytes/chip   t_comp    " + "".join(
+        f"  eff {name:<10s}" for name, _ in FABRICS
+    )
+    print(hdr)
+    for s_count in shard_counts:
+        local_bytes = n // s_count * FELT_BYTES_ON_WIRE
+        wire = 1.25 * 2 * local_bytes * (s_count - 1) / s_count
+        t_comp = 1.25 * (n // s_count) * log2n / bfly_per_s
+        effs = []
+        for _, bw in FABRICS:
+            t_comm = wire / bw
+            effs.append(t_comp / (t_comp + t_comm))
+        print(
+            f"  {s_count:<4d} {wire:>.3e}  {t_comp * 1e3:7.2f} ms"
+            + "".join(f"  {100 * e:11.1f}%  " for e in effs)
+        )
+    print(
+        "  (counts pinned by tests/test_mesh.py::test_sharded_ntt_all_to_all_counts;"
+        " 2 hosts = 16 chips on the ICI columns)"
+    )
+
+
 def main() -> None:
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})")
@@ -219,6 +283,8 @@ def main() -> None:
             f"{hp:.3e} hashes/s = {hp_ops:.3e} u32 ops/s "
             f"= {100 * hp_ops / vpu:.1f}% of empirical VPU peak"
         )
+
+    comm_model()
 
 
 if __name__ == "__main__":
