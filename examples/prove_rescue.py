@@ -22,6 +22,11 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", type=int, default=1234567890)
     ap.add_argument("--chain", type=int, default=1, help="permutation chain length")
+    ap.add_argument(
+        "--profile", type=str, default=None,
+        help="named soundness profile (test | default | production-80 | "
+        "production-128; iop/stark.py PROFILES). Overrides --checks.",
+    )
     ap.add_argument("--checks", type=int, default=16, help="FRI colinearity checks")
     ap.add_argument("--out", type=str, default=None, help="write proof bytes here")
     ap.add_argument("--checkpoint-dir", type=str, default=None)
@@ -42,10 +47,17 @@ def main() -> int:
 
     rp = RescuePrime()
     air = RescuePrimeAir(rp, chain_length=args.chain)
-    stark = Stark(air, expansion_factor=4, num_colinearity_checks=args.checks)
+    if args.profile is not None:
+        stark = Stark.from_profile(args.profile, air)
+    else:
+        stark = Stark(air, expansion_factor=4, num_colinearity_checks=args.checks)
     print(
         f"trace {stark.trace_length} rows x {stark.num_registers} registers; "
-        f"LDE domain 2^{stark.fri_domain_length.bit_length() - 1}"
+        f"LDE domain 2^{stark.fri_domain_length.bit_length() - 1}; "
+        f"security {stark.security_level()} bits conjectured "
+        f"/ {stark.security_level(conjectured=False)} proven "
+        f"({stark.num_colinearity_checks} queries @ blowup "
+        f"{stark.expansion_factor} + {stark.grinding_bits} pow bits)"
     )
 
     t0 = time.time()

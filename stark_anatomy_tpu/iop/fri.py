@@ -135,6 +135,11 @@ class Fri:
     # and commitments reduce per-shard subtrees (parallel/merkle_sharded).
     # Proof bytes are mesh-independent; the verifier ignores it entirely.
     mesh: object = None
+    #: proof-of-work bits ground into the transcript before query sampling
+    #: (utils/encoding.py grind); adds this many bits to the FRI query
+    #: soundness. 0 = no pow item in the transcript (grammar-compatible
+    #: with pre-grinding proofs).
+    grinding_bits: int = 0
 
     def __post_init__(self):
         if self.domain_length & (self.domain_length - 1):
@@ -152,6 +157,29 @@ class Fri:
                 f"2*expansion_factor={2 * self.expansion_factor} and "
                 f"8*num_colinearity_tests={8 * self.num_colinearity_tests}"
             )
+
+    def security_bits(self, conjectured: bool = True) -> float:
+        """Soundness of the FRI query phase, in bits.
+
+        Each of the q = num_colinearity_tests queries independently probes
+        the committed word at a transcript-random position (indices are
+        sampled with rejection of duplicates per round, ops/field.py
+        sample_indices). A word delta-far from the degree bound survives a
+        query with probability <= 1 - delta, where the provable proximity
+        regime reaches the Johnson bound delta = 1 - sqrt(rho) (rho =
+        1/expansion_factor) and the standard conjecture (ethSTARK
+        "conjectured soundness", also what winterfell/stone ship) reaches
+        delta = 1 - rho. Hence per query:
+
+          conjectured: -log2(rho)      = log2(expansion_factor) bits
+          proven:      -log2(sqrt(rho)) = log2(expansion_factor)/2 bits
+
+        Grinding multiplies the attacker's query-resampling cost by
+        2^grinding_bits, adding grinding_bits to either count.
+        """
+        log_blowup = self.expansion_factor.bit_length() - 1
+        per_query = log_blowup if conjectured else log_blowup / 2
+        return self.num_colinearity_tests * per_query + self.grinding_bits
 
     def _gather_host(self, arr) -> np.ndarray:
         """Sharded/device array -> host numpy, safe under multi-process.
@@ -340,7 +368,17 @@ class Fri:
             {"fri_last_codeword": [felt_to_item(int(v)) for v in last_values]}
         )
 
-        # Query phase: indices from the transcript AFTER the last codeword.
+        # Grinding: the nonce binds to the full commit-phase transcript and
+        # enters the stream BEFORE index sampling, so re-rolling queries
+        # costs 2^grinding_bits hashes per attempt (utils/encoding.py).
+        if self.grinding_bits:
+            from stark_anatomy_tpu.utils.encoding import grind, nonce_to_item
+
+            nonce = grind(proof_stream.prover_fiat_shamir(), self.grinding_bits)
+            proof_stream.push({"pow_nonce": nonce_to_item(nonce)})
+
+        # Query phase: indices from the transcript AFTER the last codeword
+        # (and the pow nonce, when grinding is configured).
         top_indices = sample_indices(
             proof_stream.prover_fiat_shamir(),
             self.domain_length // 2,
@@ -555,6 +593,19 @@ class Fri:
         degree_bound = last_len // self.expansion_factor  # max num coefficients
         if any(int(c) != 0 for c in coeffs[degree_bound:]):
             return False, []
+
+        if self.grinding_bits:
+            from stark_anatomy_tpu.utils.encoding import (
+                item_to_nonce,
+                pow_digest_ok,
+            )
+
+            # Seed = transcript digest BEFORE the nonce item; then the
+            # nonce joins the stream so index sampling commits to it.
+            seed = proof_stream.verifier_fiat_shamir()
+            nonce = item_to_nonce(proof_stream.pull()["pow_nonce"])
+            if not pow_digest_ok(seed, nonce, self.grinding_bits):
+                return False, []
 
         top_indices = sample_indices(
             proof_stream.verifier_fiat_shamir(),

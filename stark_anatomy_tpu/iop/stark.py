@@ -316,6 +316,37 @@ def sample_weights(seed: bytes, count: int) -> List[int]:
     ]
 
 
+#: Named soundness profiles (VERDICT r3 item 2). Bits shown are the FRI
+#: query term — the binding term of security_terms() at these sizes —
+#: under (conjectured 1-rho, proven Johnson) proximity. Blowup stays at 4
+#: across the production profiles: more queries + grinding raise soundness
+#: at ~zero prover cost (queries touch only the query phase; 16 pow bits
+#: grind in ~30 ms), where doubling the blowup would double every
+#: codeword, commit, and fold.
+PROFILES = {
+    # CI/toy: fast, NOT secure — for tests and examples only.
+    "test": dict(
+        expansion_factor=4, num_colinearity_checks=2, grinding_bits=0,
+        _bits=(4, 2),
+    ),
+    # Historical default (round-1..3 benchmarks): ~32 bits conjectured.
+    "default": dict(
+        expansion_factor=4, num_colinearity_checks=16, grinding_bits=0,
+        _bits=(32, 16),
+    ),
+    # >= 80-bit conjectured target: 32*2 + 16 = 80.
+    "production-80": dict(
+        expansion_factor=4, num_colinearity_checks=32, grinding_bits=16,
+        _bits=(80, 48),
+    ),
+    # >= 128-bit conjectured target: 56*2 + 16 = 128.
+    "production-128": dict(
+        expansion_factor=4, num_colinearity_checks=56, grinding_bits=16,
+        _bits=(128, 72),
+    ),
+}
+
+
 @dataclass
 class Stark:
     """STARK for one AIR shape (register count, cycle count, degree).
@@ -335,6 +366,10 @@ class Stark:
     num_colinearity_checks: int = 16
     num_randomizers: int | None = None
     mesh: object | None = None
+    #: transcript proof-of-work bits before query sampling (iop/fri.py);
+    #: adds directly to the FRI soundness bits. 0 keeps the pre-grinding
+    #: proof grammar.
+    grinding_bits: int = 0
     _cache: dict = dc_field(default_factory=dict, repr=False)
     #: compiled per-instance phase functions — unlike _cache (device
     #: arrays, cleared before FRI to free HBM) these survive across
@@ -447,7 +482,72 @@ class Stark:
             expansion_factor=self.expansion_factor,
             num_colinearity_tests=self.num_colinearity_checks,
             mesh=self.mesh,
+            grinding_bits=self.grinding_bits,
         )
+
+    # -- soundness accounting (VERDICT r3 item 2; SURVEY.md section 5.6) ----
+
+    def security_terms(self, conjectured: bool = True) -> dict:
+        """Every soundness term of the full protocol, in bits.
+
+        The protocol's soundness error is the sum of the per-phase cheating
+        probabilities; the LEVEL is the minimum term (the attacker takes
+        the cheapest path):
+
+        - fri_queries: the FRI query phase (iop/fri.py security_bits) —
+          q * log2(blowup) conjectured / q * log2(blowup)/2 proven, plus
+          grinding_bits of transcript proof-of-work. The binding term for
+          every practical parameterization here.
+        - combination_sampling: the random linear combination of the
+          boundary/transition quotients uses 2 transcript-sampled field
+          weights per term; a quotient that is NOT low-degree survives the
+          combination only if the weighted sum cancels its high
+          coefficients — probability <= max_degree / p per sampled pair.
+        - fold_sampling: each of the ~log2(F) FRI fold challenges alpha
+          collapses a far word to a near one with probability
+          <= domain_length / p (distortion of split-and-fold at one point).
+        - fiat_shamir: transcripts are bound by SHA-256 (proof_stream.py)
+          => 128-bit collision security on challenge derivation.
+        - merkle: commitments are Blake2b-512 => 256-bit collision
+          resistance on every opened path.
+        """
+        import math
+
+        f = self.fri
+        p_bits = 128  # log2(PRIME) ~ 127.999..; floor to be conservative
+        rounds = f.num_rounds
+        return {
+            "fri_queries": f.security_bits(conjectured),
+            "combination_sampling": p_bits - math.ceil(math.log2(self.max_degree + 1)),
+            "fold_sampling": p_bits
+            - math.ceil(math.log2(self.fri_domain_length * max(rounds, 1))),
+            "fiat_shamir": 128,
+            "merkle": 256,
+        }
+
+    def security_level(self, conjectured: bool = True) -> int:
+        """Overall soundness in bits = the weakest security_terms() entry.
+
+        conjectured=True uses the standard 1-rho proximity conjecture
+        (what ethSTARK/winterfell/stone report); conjectured=False is the
+        proven Johnson-bound regime. The shipped profiles (PROFILES)
+        state both; pinned in tests/test_stark.py.
+        """
+        return int(min(self.security_terms(conjectured).values()))
+
+    @classmethod
+    def from_profile(cls, name: str, air, **overrides) -> "Stark":
+        """Construct with a named (expansion, queries, grinding) profile.
+
+        PROFILES maps each name to its parameter set and stated
+        (conjectured, proven) bits; see the table there. Extra kwargs
+        (mesh=, num_randomizers=) pass through.
+        """
+        if name not in PROFILES:
+            raise ValueError(f"unknown profile {name!r}; have {sorted(PROFILES)}")
+        params = {k: v for k, v in PROFILES[name].items() if not k.startswith("_")}
+        params.update(overrides)
+        return cls(air, **params)
 
     # -- shared device precomputations (cached per instance) ---------------
 
@@ -489,7 +589,7 @@ class Stark:
         if self.mesh is not None:
             from stark_anatomy_tpu.parallel.mesh import SHARD_AXIS
             from stark_anatomy_tpu.parallel.ntt_sharded import (
-                sharded_coset_evaluate,
+                sharded_lde,
                 sharded_ntt,
             )
 
@@ -497,10 +597,12 @@ class Stark:
             # The four-step transform needs S | n and S | n/S; fall back to
             # the single-device transform (bit-identical) for tiny domains.
             if o % s == 0 and (o // s) % s == 0:
-                coeffs = sharded_ntt(self._shard(cm), self.mesh, inverse=True)
                 f = self.fri_domain_length
                 if f % s == 0 and (f // s) % s == 0:
-                    return sharded_coset_evaluate(coeffs, f, self.offset, self.mesh)
+                    # 4-all-to-all chain: iNTT -> CYCLIC coefficients,
+                    # local offset-scale/pad, NTT cyclic -> natural.
+                    return sharded_lde(self._shard(cm), f, self.offset, self.mesh)
+                coeffs = sharded_ntt(self._shard(cm), self.mesh, inverse=True)
                 return self._shard(nttmod.coset_evaluate(coeffs, f, self.offset))
         coeffs = nttmod.intt(cm)
         return self._shard(

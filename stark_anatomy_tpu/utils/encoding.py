@@ -90,6 +90,51 @@ def item_to_felts(items: Sequence[str]) -> List[int]:
     return [item_to_felt(i) for i in items]
 
 
+# -- proof-of-work grinding -------------------------------------------------
+#
+# Standard STARK grinding (as in EthSTARK/winterfell): after the commit
+# phase, the prover finds a nonce whose SHA-256 against the transcript
+# digest has `bits` leading zero bits, and only THEN samples the query
+# indices (with the nonce in the transcript). Re-sampling the queries now
+# costs an attacker 2^bits hash evaluations per attempt, adding `bits` to
+# the FRI query soundness at ~2^bits one-time prover hashes (tens of ms
+# for the 16-bit production profiles). The reference has no analogue (it
+# has no FRI); accounted in Fri.security_bits / Stark.security_level.
+
+
+def pow_digest_ok(seed: bytes, nonce: int, bits: int) -> bool:
+    """True iff SHA-256(seed || be8(nonce)) has >= `bits` leading zero bits."""
+    if not 0 <= nonce < (1 << 64):
+        return False
+    d = hashlib.sha256(seed + nonce.to_bytes(8, "big")).digest()
+    return int.from_bytes(d[:8], "big") >> (64 - bits) == 0 if bits else True
+
+
+def grind(seed: bytes, bits: int) -> int:
+    """Smallest nonce passing pow_digest_ok — deterministic per seed."""
+    if not 0 <= bits <= 40:
+        raise ValueError("grinding_bits must be in [0, 40]")
+    nonce = 0
+    while not pow_digest_ok(seed, nonce, bits):
+        nonce += 1
+    return nonce
+
+
+def nonce_to_item(nonce: int) -> str:
+    return str(nonce)
+
+
+def item_to_nonce(item: str) -> int:
+    """Strict canonical decimal u64 (same malleability rationale as
+    item_to_felt: one value, one transcript byte-encoding)."""
+    if not isinstance(item, str):
+        raise ValueError("nonce item must be a string")
+    value = int(item)
+    if item != str(value) or not 0 <= value < (1 << 64):
+        raise ValueError("non-canonical nonce item")
+    return value
+
+
 def digest_to_item(digest: bytes) -> str:
     return digest.hex()
 

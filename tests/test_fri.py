@@ -143,3 +143,66 @@ def test_host_tail_matches_device_rounds(monkeypatch):
     assert ps_dev.serialize() == ps_host.serialize()
     ok, pts = fri.verify(ProofStream.deserialize(ps_host.serialize()))
     assert ok and pts
+
+
+def test_grinding_round_trip_and_rejection():
+    # Grinding (VERDICT r3 item 2): the pow nonce enters the transcript
+    # between the last codeword and index sampling. Honest proof verifies;
+    # any nonce perturbation both fails the pow check AND shifts the
+    # sampled indices, so verification must reject.
+    import json
+
+    fri = Fri(
+        offset=GENERATOR,
+        domain_length=256,
+        expansion_factor=4,
+        num_colinearity_tests=8,
+        grinding_bits=6,
+    )
+    codeword = _codeword_of_degree(64, 256, fri.offset)
+    ps = ProofStream()
+    fri.prove(codeword, ps)
+    raw = ps.serialize()
+    assert b"pow_nonce" in raw
+    ok, _ = fri.verify(ProofStream.deserialize(raw))
+    assert ok
+
+    # A verifier configured WITHOUT grinding must reject this transcript
+    # (it reads the nonce item as something else), and vice versa.
+    no_grind = Fri(
+        offset=GENERATOR,
+        domain_length=256,
+        expansion_factor=4,
+        num_colinearity_tests=8,
+    )
+    ok, _ = no_grind.verify(ProofStream.deserialize(raw))
+    assert not ok
+
+    # Tamper: bump the nonce.
+    items = json.loads(raw)
+    for it in items:
+        if "pow_nonce" in it:
+            it["pow_nonce"] = str(int(it["pow_nonce"]) + 1)
+    tampered = json.dumps(items).encode()
+    ok, _ = fri.verify(ProofStream.deserialize(tampered))
+    assert not ok
+
+
+def test_security_bits_formula():
+    fri = Fri(
+        offset=GENERATOR,
+        domain_length=256,
+        expansion_factor=4,
+        num_colinearity_tests=8,
+        grinding_bits=6,
+    )
+    assert fri.security_bits() == 8 * 2 + 6
+    assert fri.security_bits(conjectured=False) == 8 * 1 + 6
+    wide = Fri(
+        offset=GENERATOR,
+        domain_length=4096,
+        expansion_factor=16,
+        num_colinearity_tests=20,
+    )
+    assert wide.security_bits() == 20 * 4
+    assert wide.security_bits(conjectured=False) == 20 * 2

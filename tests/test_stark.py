@@ -197,3 +197,52 @@ def test_fused_path_identical_proof(monkeypatch):
     assert Stark(air, expansion_factor=4, num_colinearity_checks=2).verify(
         fused, boundary
     )
+
+
+def test_security_accounting_profiles():
+    # VERDICT r3 item 2: a stated, tested soundness derivation. The FRI
+    # query term is q*log2(blowup) (+ grinding) conjectured and half that
+    # proven; security_level() is the weakest term.
+    from stark_anatomy_tpu.iop.stark import PROFILES
+
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+
+    s80 = Stark.from_profile("production-80", air)
+    terms = s80.security_terms()
+    assert terms["fri_queries"] == 32 * 2 + 16 == 80
+    assert s80.fri.security_bits(conjectured=False) == 32 + 16 == 48
+    assert s80.security_level() == 80  # fri term binds at this size
+    assert s80.security_level(conjectured=False) == 48
+
+    legacy = Stark(air, expansion_factor=4, num_colinearity_checks=16)
+    assert legacy.security_level() == 32
+    assert legacy.security_level(conjectured=False) == 16
+
+    s128 = Stark.from_profile("production-128", air)
+    assert s128.security_terms()["fri_queries"] == 56 * 2 + 16 == 128
+
+    # Every profile's stated (conjectured, proven) pair matches the formula.
+    for name, params in PROFILES.items():
+        conj, prov = params["_bits"]
+        s = Stark.from_profile(name, air)
+        assert s.security_terms()["fri_queries"] == conj, name
+        assert s.fri.security_bits(conjectured=False) == prov, name
+
+    # Overrides pass through.
+    s = Stark.from_profile("test", air, num_colinearity_checks=3)
+    assert s.num_colinearity_checks == 3
+
+
+def test_grinding_proof_roundtrip():
+    # A ground STARK proof verifies; the same parameters without grinding
+    # reject it (transcript grammar differs by the pow item).
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=2, grinding_bits=5)
+    trace = rp.trace(99)
+    boundary = air.boundary_constraints(rp.hash(99))
+    proof = stark.prove(trace, boundary, randomizer_seed=b"grind")
+    assert stark.verify(proof, boundary)
+    plain = Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    assert not plain.verify(proof, boundary)
