@@ -18,21 +18,29 @@ protocol the reference repo is a port of, per the links at
 Transcript item layout (all JSON-safe, see utils/encoding.py):
   {"fri_root": hex64}                          per round
   {"fri_last_codeword": [dec, ...]}            once
+  {"pow_nonce": dec}                           once, iff grinding_bits > 0
   {"fri_points": [[a,b,c] dec, ...]}           per query round
-  {"fri_paths": [[hex64...] x 3, ...]}         per query round
+  {"fri_multiproofs": [[hex64...] per tree]}   once (trees 0..rounds-2)
+
+The multiproof grammar (round 4; replaces per-leaf {"fri_paths"}): each
+tree ships ONE deduplicated batch opening (iop/merkle.py multiproof_plan)
+over the union of every index the query phase touches on it; round r's
+next-tree (c) openings fold into tree r+1's own set, and the last tree
+ships nothing (the verifier rebuilds it from fri_last_codeword). ~2x
+smaller proofs at production sizes; goldens regenerated.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stark_anatomy_tpu.iop.merkle import MerkleTree, verify_path
+from stark_anatomy_tpu.iop.merkle import MerkleTree, verify_multiproof
 from stark_anatomy_tpu.iop.proof_stream import ProofStream, ProofStreamError
 from stark_anatomy_tpu.ops import field_pallas as fp
 from stark_anatomy_tpu.ops import ntt as nttmod
@@ -82,6 +90,21 @@ def _fold_jit(cw: jnp.ndarray, alpha_m: jnp.ndarray, inv_dom: jnp.ndarray) -> jn
     one = _const_mont(1, half)
     t = fp.add(fp.mont_mul(fp.add(one, au), lo), fp.mont_mul(fp.sub(one, au), hi))
     return fp.mont_mul(_const_mont(finv(2), half), t)
+
+
+@partial(jax.jit, static_argnames=("store_leaves",))
+def _fold_commit_jit(cw, alpha_m, inv_dom, store_leaves: bool):
+    """ONE dispatch for a full device FRI round: fold -> from_mont ->
+    leaf hash -> every Merkle level (VERDICT r3 item 3a). Values are
+    op-for-op the eager fold + commit_columns_fused sequence, so bytes
+    are identical; fusing removes two device round trips per round and
+    lets XLA keep the fold output resident for the hash pipeline."""
+    from stark_anatomy_tpu.iop.merkle import _commit_levels_traced
+
+    folded = _fold_jit(cw, alpha_m, inv_dom)
+    standard = fp.from_mont(folded)
+    plane, rows, top = _commit_levels_traced((standard,), 16, store_leaves)
+    return folded, standard, plane, rows, top
 
 
 def fold(codeword_mont: jnp.ndarray, alpha: int, offset: int, omega: int) -> jnp.ndarray:
@@ -307,7 +330,11 @@ class Fri:
         host_tail_n = int(
             __import__("os").environ.get("STARK_ANATOMY_FRI_HOST_N", str(1 << 14))
         )
+        import os as _os
+
+        fuse_min = int(_os.environ.get("STARK_ANATOMY_FUSE_MIN", str(1 << 16)))
         pending = None  # (round, tree, standard) whose D2H copies are in flight
+        prepared = None  # (standard, tree) produced by a fused fold+commit
         for r in range(resume_from, rounds):
             # The host tail applies on the mesh path too: np.asarray on a
             # sharded array gathers it, and below host_tail_n the rounds
@@ -321,9 +348,13 @@ class Fri:
                     proof_stream, checkpoint_dir, checkpoint_meta,
                 )
                 break
-            codeword = self._reshard(codeword)
-            standard = fp.from_mont(codeword)
-            tree = self._commit_one(standard)
+            if prepared is not None:
+                standard, tree = prepared
+                prepared = None
+            else:
+                codeword = self._reshard(codeword)
+                standard = fp.from_mont(codeword)
+                tree = self._commit_one(standard)
             if checkpoint_dir is not None:
                 from stark_anatomy_tpu.utils import checkpoint as ckpt
 
@@ -354,7 +385,28 @@ class Fri:
             if r == rounds - 1:
                 break
             alpha = sample_field_element(proof_stream.prover_fiat_shamir())
-            codeword = fold(codeword, alpha, offset, omega)
+            half = codeword.shape[-1] // 2
+            if self.mesh is None and half > host_tail_n and half >= fuse_min:
+                # Fused round: the NEXT round's codeword, canonical form,
+                # and full tree in one dispatch (bytes identical to the
+                # eager sequence — tests/test_stark.py fused-path pins).
+                from stark_anatomy_tpu.iop.merkle import assemble_fused_tree
+                from stark_anatomy_tpu.iop.merkle import _DROP_LEAVES_MIN
+
+                alpha_m = jnp.asarray(
+                    int_to_limbs(alpha * R_MOD_P % PRIME), dtype=jnp.uint32
+                )
+                inv_dom = jnp.asarray(_inv_domain_mont(offset, omega, half))
+                store = half < _DROP_LEAVES_MIN
+                codeword, std_next, plane, rows_dev, top = _fold_commit_jit(
+                    codeword, alpha_m, inv_dom, store
+                )
+                prepared = (
+                    std_next,
+                    assemble_fused_tree(plane, rows_dev, top, [std_next], store),
+                )
+            else:
+                codeword = fold(codeword, alpha, offset, omega)
             omega = omega * omega % PRIME
             offset = offset * offset % PRIME
         if pending is not None:
@@ -390,6 +442,14 @@ class Fri:
         # jax.device_get wave, then assemble the transcript from host data.
         # The naive per-round/per-level fetches were ~40 serialized round
         # trips per round — the dominant FRI cost over a remote link.
+        #
+        # Openings ship as ONE multiproof per tree (iop/merkle.py
+        # multiproof_plan; VERDICT r3 item 5): tree t's opened set is
+        # a_t ∪ b_t from its own round, which SUBSUMES round t-1's c
+        # openings (i_{t-1} folds to i_t or i_t + half_t), and the last
+        # tree ships nothing at all — the verifier already rebuilds it
+        # from fri_last_codeword, so c values there are checked by direct
+        # lookup. Roughly halves the proof vs per-leaf paths.
         indices = list(top_indices)
         wave: List = []
         pending: List[dict] = []
@@ -411,12 +471,10 @@ class Fri:
                 entry["nxt_slot"] = len(wave)
                 wave.append(jnp.take(nxt, jnp.asarray(a_idx), axis=1))
             d1, f1 = trees[r]._prefetch_plan(a_idx + b_idx)
-            d2, f2 = trees[r + 1]._prefetch_plan(a_idx)
             entry["tree_base"] = len(wave)
-            entry["tree_counts"] = (len(d1), len(d2))
-            entry["fills"] = (f1, f2)
+            entry["tree_count"] = len(d1)
+            entry["fill"] = f1
             wave.extend(d1)
-            wave.extend(d2)
             pending.append(entry)
         fetched = jax.device_get(wave) if wave else []
         for entry in pending:
@@ -425,13 +483,18 @@ class Fri:
             if "nxt_slot" in entry:
                 entry["nxt_cols"] = np.asarray(fetched[entry["nxt_slot"]])
             base = entry["tree_base"]
-            n1, n2 = entry["tree_counts"]
-            f1, f2 = entry["fills"]
-            f1(fetched[base : base + n1])
-            f2(fetched[base + n1 : base + n1 + n2])
-            self._emit_query_round(
-                trees[entry["r"]], trees[entry["r"] + 1], entry, proof_stream
+            entry["fill"](fetched[base : base + entry["tree_count"]])
+            self._emit_query_points(entry, proof_stream)
+        multiproofs = []
+        for entry in pending:
+            opened = sorted(
+                set(entry["a_idx"]) | {i + entry["half"] for i in entry["a_idx"]}
             )
+            multiproofs.append(
+                [digest_to_item(d) for d in trees[entry["r"]].open_multi(opened)]
+            )
+        if rounds > 1:
+            proof_stream.push({"fri_multiproofs": multiproofs})
         return top_indices
 
     def _host_tail(
@@ -514,31 +577,22 @@ class Fri:
 
         return commit_columns_fused([standard])
 
-    def _emit_query_round(self, current_tree, next_tree, entry, proof_stream):
-        """Assemble one query round's transcript items from prefetched
-        host data (entry comes from the prove() gather wave)."""
+    def _emit_query_points(self, entry, proof_stream):
+        """One query round's colinearity point values from prefetched host
+        data (entry comes from the prove() gather wave). Openings travel
+        separately as per-tree multiproofs."""
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
 
         indices = entry["a_idx"]
-        half = entry["half"]
         cur_cols = entry["cur_cols"]
         nxt_cols = entry["nxt_cols"]
         points = []
-        paths = []
-        for s, i in enumerate(indices):
+        for s, _ in enumerate(indices):
             a = limbs_to_int(cur_cols[:, s])
             b = limbs_to_int(cur_cols[:, s + len(indices)])
             c = limbs_to_int(nxt_cols[:, s])
             points.append([felt_to_item(a), felt_to_item(b), felt_to_item(c)])
-            paths.append(
-                [
-                    [digest_to_item(d) for d in current_tree.open(i)],
-                    [digest_to_item(d) for d in current_tree.open(i + half)],
-                    [digest_to_item(d) for d in next_tree.open(i)],
-                ]
-            )
         proof_stream.push({"fri_points": points})
-        proof_stream.push({"fri_paths": paths})
 
     # -- verifier ----------------------------------------------------------
 
@@ -615,6 +669,11 @@ class Fri:
         )
         top_points: List[Tuple[int, int]] = []
         indices = list(top_indices)
+        # Claimed codeword values per tree, merged across rounds: round r
+        # claims tree r at i and i+half (a, b) AND tree r+1 at i (c). A
+        # conflict between round r's c and round r+1's a/b at the same
+        # slot is a cheating transcript — reject before any hashing.
+        claimed: List[dict] = [dict() for _ in range(rounds)]
         for r in range(rounds - 1):
             n = self.domain_length >> r
             half = n // 2
@@ -623,8 +682,7 @@ class Fri:
             offset_r = pow(self.offset, 1 << r, PRIME)
             alpha = alphas[r]
             points_items = proof_stream.pull()["fri_points"]
-            paths_items = proof_stream.pull()["fri_paths"]
-            if len(points_items) != len(indices) or len(paths_items) != len(indices):
+            if len(points_items) != len(indices):
                 return False, []
             for s, i in enumerate(indices):
                 ay, by, cy = (item_to_felt(v) for v in points_items[s])
@@ -632,22 +690,33 @@ class Fri:
                 bx = offset_r * pow(omega_r, i + half, PRIME) % PRIME
                 if not colinearity_check([(ax, ay), (bx, by), (alpha, cy)]):
                     return False, []
-                pa, pb, pc = (
-                    [item_to_digest(d) for d in path] for path in paths_items[s]
-                )
-                # Pin every path to the committed tree height: verify_path
-                # itself accepts any length with index < 2^len, which would
-                # let a prover open against a shallower subtree.
-                height = n.bit_length() - 1
-                if len(pa) != height or len(pb) != height or len(pc) != height - 1:
-                    return False, []
-                if not verify_path(roots[r], hash_felts([ay]), pa, i):
-                    return False, []
-                if not verify_path(roots[r], hash_felts([by]), pb, i + half):
-                    return False, []
-                if not verify_path(roots[r + 1], hash_felts([cy]), pc, i):
-                    return False, []
+                for tree_idx, pos, val in (
+                    (r, i, ay),
+                    (r, i + half, by),
+                    (r + 1, i, cy),
+                ):
+                    prev = claimed[tree_idx].setdefault(pos, val)
+                    if prev != val:
+                        return False, []
                 if r == 0:
                     top_points.append((i, ay))
                     top_points.append((i + half, by))
+        # Last tree: the verifier rebuilt it from fri_last_codeword above,
+        # so claims there are settled by direct lookup — no paths on wire.
+        for pos, val in claimed[rounds - 1].items():
+            if not 0 <= pos < len(last_codeword) or int(last_codeword[pos]) != val:
+                return False, []
+        # Every other tree: ONE multiproof binding all claimed values.
+        if rounds > 1:
+            mp_items = proof_stream.pull()["fri_multiproofs"]
+            if not isinstance(mp_items, list) or len(mp_items) != rounds - 1:
+                return False, []
+            for t in range(rounds - 1):
+                height = (self.domain_length >> t).bit_length() - 1
+                leaf_map = {
+                    pos: hash_felts([val]) for pos, val in claimed[t].items()
+                }
+                nodes = [item_to_digest(d) for d in mp_items[t]]
+                if not verify_multiproof(roots[t], leaf_map, nodes, height):
+                    return False, []
         return True, top_points

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import hashlib
 from functools import partial
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,13 @@ import numpy as np
 from stark_anatomy_tpu.ops.blake2b import blake2b_u32, merkle_node_hash
 from stark_anatomy_tpu.ops.limbs import NUM_LIMBS
 
-__all__ = ["MerkleTree", "hash_felt_leaves", "verify_path"]
+__all__ = [
+    "MerkleTree",
+    "hash_felt_leaves",
+    "multiproof_plan",
+    "verify_multiproof",
+    "verify_path",
+]
 
 _DEVICE_MIN_BATCH = 8  # below this, host hashlib beats a device dispatch
 
@@ -195,6 +201,20 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
     """
     msg_len = 16 * len(columns)
     n = int(columns[0].shape[-1])
+    from stark_anatomy_tpu.ops import blake2b_pallas as bp
+    from stark_anatomy_tpu.ops.field_pallas import _on_tpu
+
+    if _on_tpu() and msg_len > bp._MAX_MSG_LEN:
+        import warnings
+
+        warnings.warn(
+            f"commit of {len(columns)} columns ({msg_len}-byte leaves) "
+            f"exceeds the Pallas hasher's {bp._MAX_MSG_LEN}-byte message "
+            "cap — falling back to the ~10x slower jnp leaf hasher. "
+            "Raise ops/blake2b_pallas._MAX_MSG_LEN (with a smaller row "
+            "tile) for AIRs this wide.",
+            stacklevel=2,
+        )
     if store_leaves is None:
         store_leaves = n < _DROP_LEAVES_MIN
     import os
@@ -214,6 +234,17 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
         return tree
     cols = [jnp.asarray(c) for c in columns]
     plane_dev, row_dev, top = _commit_levels_jit(tuple(cols), msg_len, store_leaves)
+    return assemble_fused_tree(plane_dev, row_dev, top, cols, store_leaves)
+
+
+def assemble_fused_tree(
+    plane_dev, row_dev, top, cols, store_leaves: bool
+) -> "MerkleTree":
+    """MerkleTree from _commit_levels_traced outputs: stitch the device
+    plane/row levels, finish the tiny top on host hashlib, and set the
+    plane-level/dropped-leaf bookkeeping. Shared by commit_columns_fused
+    and the fused FRI round (iop/fri.py), so both produce structurally
+    identical trees."""
     levels: List = ([None] if not store_leaves else []) + list(plane_dev) + list(row_dev)
     offset = 0 if store_leaves else 1
     plane_set = frozenset(range(offset, offset + len(plane_dev)))
@@ -476,6 +507,23 @@ class MerkleTree:
         self._prefetch(list(indices))
         return [self.open(i) for i in indices]
 
+    def open_multi(self, indices: Sequence[int]) -> List[bytes]:
+        """Deduplicated batch opening: the multiproof_plan node digests.
+
+        Verify with verify_multiproof(root, {index: leaf_digest}, nodes,
+        height). Every plan node is some index's path sibling, so the
+        per-leaf _prefetch covers the gathers in one wave.
+        """
+        idx = sorted(set(int(i) for i in indices))
+        n = self.num_leaves
+        if not idx:
+            raise ValueError("empty multiproof index set")
+        if idx[0] < 0 or idx[-1] >= n:
+            raise IndexError(f"leaf index out of range for {n} leaves")
+        plan = multiproof_plan(idx, len(self.levels) - 1)
+        self._prefetch(idx)
+        return [self._fetch(level, i) for level, i in plan]
+
     def start_offload(self) -> None:
         """Begin async device->host copies of every level (non-blocking)."""
         for lv in self.levels:
@@ -500,6 +548,74 @@ class MerkleTree:
 
     def verify(self, leaf: bytes, path: Sequence[bytes], index: int) -> bool:
         return verify_path(self.root, leaf, path, index)
+
+
+def multiproof_plan(indices: Sequence[int], height: int) -> List[Tuple[int, int]]:
+    """(level, index) of every node a batch opening must SUPPLY.
+
+    Walking leaf-level up: at each level the known set is the indices
+    whose digests the verifier can already compute (supplied leaves at
+    level 0, then recomputed parents); a sibling that is itself known is
+    free, otherwise it must ship. Canonical order: level ascending, then
+    the known node's index ascending — both sides derive the plan from
+    the same index set, so the node list needs no per-node labels (a
+    third of the bytes of labeled per-leaf paths before any sharing).
+    """
+    if not indices:
+        raise ValueError("empty multiproof index set")
+    cur = sorted(set(indices))
+    if cur[0] < 0 or cur[-1] >= (1 << height):
+        raise ValueError("index out of range for tree height")
+    out: List[Tuple[int, int]] = []
+    for level in range(height):
+        cur_set = set(cur)
+        nxt = []
+        for i in cur:
+            if i & 1 and (i ^ 1) in cur_set:
+                continue  # counted with its even partner
+            if (i ^ 1) not in cur_set:
+                out.append((level, i ^ 1))
+            nxt.append(i >> 1)
+        cur = sorted(set(nxt))
+    return out
+
+
+def verify_multiproof(
+    root: bytes, leaves: dict, nodes: Sequence[bytes], height: int
+) -> bool:
+    """Fold a batch of leaves up one shared frontier; True iff it reaches
+    `root` consuming EXACTLY the supplied nodes.
+
+    leaves: {leaf_index: 64-byte digest}. Node order must match
+    multiproof_plan(leaves.keys(), height); missing, extra, or reordered
+    nodes all fail (the strictness the per-path verifier got from its
+    pinned path lengths).
+    """
+    if not leaves:
+        return False
+    if any(not 0 <= i < (1 << height) for i in leaves):
+        return False
+    known = {int(i): bytes(d) for i, d in leaves.items()}
+    pos = 0
+    for _level in range(height):
+        cur = sorted(known)
+        nxt = {}
+        for i in cur:
+            if i & 1 and (i ^ 1) in known:
+                continue
+            if (i ^ 1) in known:
+                sib = known[i ^ 1]
+            else:
+                if pos >= len(nodes):
+                    return False
+                sib = nodes[pos]
+                pos += 1
+            pair = known[i] + sib if i % 2 == 0 else sib + known[i]
+            nxt[i >> 1] = hashlib.blake2b(pair, digest_size=64).digest()
+        known = nxt
+    if pos != len(nodes):
+        return False
+    return known.get(0) == root
 
 
 def verify_path(root: bytes, leaf: bytes, path: Sequence[bytes], index: int) -> bool:

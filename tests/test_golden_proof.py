@@ -70,8 +70,9 @@ def test_grammar_item_kind_sequence(golden_bytes):
         ["bq_root", "zk_root"]
         + ["fri_root"] * num_rounds
         + ["fri_last_codeword"]
-        + ["fri_points", "fri_paths"] * (num_rounds - 1)
-        + ["bq_leaves", "bq_paths", "zk_leaves", "zk_paths"]
+        + ["fri_points"] * (num_rounds - 1)
+        + ["fri_multiproofs"]
+        + ["bq_leaves", "bq_multiproof", "zk_leaves", "zk_multiproof"]
     )
     assert kinds == expected
 
@@ -102,21 +103,19 @@ def test_item_kind_encodings(golden_bytes):
                 assert len(triple) == 3
                 for v in triple:
                     check_felt(v)
-        elif kind == "fri_paths":
-            for triple in val:
-                for path in triple:
-                    for d in path:
-                        check_digest(d)
+        elif kind == "fri_multiproofs":
+            assert len(val) == 6  # one batch opening per tree 0..rounds-2
+            for nodes in val:
+                for d in nodes:
+                    check_digest(d)
         elif kind in ("bq_leaves", "zk_leaves"):
             for idx, v in val:
                 assert 0 <= idx < f
                 for x in v if isinstance(v, list) else [v]:
                     check_felt(x)
-        elif kind in ("bq_paths", "zk_paths"):
-            for idx, path in val:
-                assert 0 <= idx < f
-                for d in path:
-                    check_digest(d)
+        elif kind in ("bq_multiproof", "zk_multiproof"):
+            for d in val:
+                check_digest(d)
         else:  # pragma: no cover - grammar test catches unknown kinds
             raise AssertionError(f"unknown item kind {kind}")
 

@@ -67,24 +67,31 @@ def proved():
 def test_verifier_rejects_truncated_merkle_paths(proved):
     rp, stark, proof, boundary = proved
     items = json.loads(proof)
-    # Truncate one boundary-quotient path by one level: index < 2^len still
-    # holds for most indices, so only the explicit height pin catches it.
+    # Drop one node from the boundary-quotient multiproof: the verifier
+    # must consume EXACTLY the planned node list (iop/merkle.py
+    # verify_multiproof), so shorter, longer, and reordered lists all
+    # reject.
     for it in items:
-        if isinstance(it, dict) and "bq_paths" in it:
-            it["bq_paths"][0][1] = it["bq_paths"][0][1][:-1]
+        if isinstance(it, dict) and "bq_multiproof" in it:
+            full = list(it["bq_multiproof"])
+            it["bq_multiproof"] = full[:-1]
             break
     tampered = json.dumps(items, separators=(",", ":")).encode()
     assert not stark.verify(tampered, boundary)
+    it["bq_multiproof"] = full + [full[0]]
+    assert not stark.verify(json.dumps(items, separators=(",", ":")).encode(), boundary)
+    it["bq_multiproof"] = [full[1], full[0]] + full[2:]
+    assert not stark.verify(json.dumps(items, separators=(",", ":")).encode(), boundary)
 
 
 def test_fri_verify_returns_false_on_malformed_paths(proved):
     rp, stark, proof, boundary = proved
     items = json.loads(proof)
     for it in items:
-        if isinstance(it, dict) and "fri_paths" in it:
-            # Garbage digest encoding inside a FRI path: direct Fri users
-            # must see a clean False, not a ValueError.
-            it["fri_paths"][0][0][0] = "zz"
+        if isinstance(it, dict) and "fri_multiproofs" in it:
+            # Garbage digest encoding inside a FRI multiproof: direct Fri
+            # users must see a clean False, not a ValueError.
+            it["fri_multiproofs"][0][0] = "zz"
             break
     from stark_anatomy_tpu.iop.proof_stream import ProofStream
 

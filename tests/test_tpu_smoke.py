@@ -101,7 +101,9 @@ def test_blake2b_pallas_matches_jnp_on_device():
 
     rng = np.random.default_rng(29)
     n = 1 << 16
-    for msg_len in (16, 32, 64, 128):
+    # 256/512: multi-block in-kernel chaining (VERDICT r3 item 7) — the
+    # wide-AIR leaf path; parity vs the jnp hasher == hashlib.
+    for msg_len in (16, 32, 64, 128, 256, 512):
         k = (msg_len + 3) // 4
         words = rng.integers(0, 1 << 32, size=(n, k), dtype=np.uint64).astype(
             np.uint32
