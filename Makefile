@@ -3,8 +3,12 @@
 
 .PHONY: test test-fast test-tpu lint format bench native clean
 
+# -n auto --dist loadfile: module-parallel workers (pytest-xdist). The
+# suite is dominated by XLA compiles + CPU-backend proves spread across
+# ~15 modules; loadfile keeps module-scoped fixtures (and the per-module
+# jax cache clearing in conftest.py) coherent per worker. ~2x wall time.
 test: native
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n auto --dist loadfile
 
 test-fast: native
 	python -m pytest tests/ -q -x -m "not slow"

@@ -333,6 +333,8 @@ class Fri:
         import os as _os
 
         fuse_min = int(_os.environ.get("STARK_ANATOMY_FUSE_MIN", str(1 << 16)))
+        from stark_anatomy_tpu.utils.telemetry import phase as _tphase
+
         pending = None  # (round, tree, standard) whose D2H copies are in flight
         prepared = None  # (standard, tree) produced by a fused fold+commit
         for r in range(resume_from, rounds):
@@ -343,10 +345,11 @@ class Fri:
             # remaining size for no wall-clock gain. Transcripts are
             # bit-identical either way (exact field math both sides).
             if codeword.shape[-1] <= host_tail_n:
-                self._host_tail(
-                    codeword, r, rounds, omega, offset, codewords_dev, trees,
-                    proof_stream, checkpoint_dir, checkpoint_meta,
-                )
+                with _tphase("fri.host-tail"):
+                    self._host_tail(
+                        codeword, r, rounds, omega, offset, codewords_dev,
+                        trees, proof_stream, checkpoint_dir, checkpoint_meta,
+                    )
                 break
             if prepared is not None:
                 standard, tree = prepared
@@ -360,7 +363,7 @@ class Fri:
 
                 ckpt.save(
                     checkpoint_dir, f"fri-r{r}", [],
-                    {"codeword": np.asarray(standard)}, checkpoint_meta,
+                    {"codeword": self._gather_host(standard)}, checkpoint_meta,
                 )
             if standard.shape[-1] >= offload_threshold:
                 # Kick the copies off now; materialize (and free the HBM)
@@ -381,7 +384,8 @@ class Fri:
             # ints are extracted only at the handful of queried indices.
             codewords_dev.append(standard)
             trees.append(tree)
-            proof_stream.push({"fri_root": digest_to_item(tree.root)})
+            with _tphase("fri.root-sync"):
+                proof_stream.push({"fri_root": digest_to_item(tree.root)})
             if r == rounds - 1:
                 break
             alpha = sample_field_element(proof_stream.prover_fiat_shamir())
@@ -401,10 +405,13 @@ class Fri:
                 codeword, std_next, plane, rows_dev, top = _fold_commit_jit(
                     codeword, alpha_m, inv_dom, store
                 )
-                prepared = (
-                    std_next,
-                    assemble_fused_tree(plane, rows_dev, top, [std_next], store),
-                )
+                with _tphase("fri.fused-assemble"):
+                    prepared = (
+                        std_next,
+                        assemble_fused_tree(
+                            plane, rows_dev, top, [std_next], store
+                        ),
+                    )
             else:
                 codeword = fold(codeword, alpha, offset, omega)
             omega = omega * omega % PRIME
@@ -415,10 +422,11 @@ class Fri:
             codewords_dev[pr] = np.asarray(pstd)
             ptree.replace_leaf_columns([codewords_dev[pr]])
 
-        last_values = limbs_to_ints(self._gather_host(codewords_dev[-1]))
-        proof_stream.push(
-            {"fri_last_codeword": [felt_to_item(int(v)) for v in last_values]}
-        )
+        with _tphase("fri.last-gather"):
+            last_values = limbs_to_ints(self._gather_host(codewords_dev[-1]))
+            proof_stream.push(
+                {"fri_last_codeword": [felt_to_item(int(v)) for v in last_values]}
+            )
 
         # Grinding: the nonce binds to the full commit-phase transcript and
         # enters the stream BEFORE index sampling, so re-rolling queries
@@ -426,7 +434,10 @@ class Fri:
         if self.grinding_bits:
             from stark_anatomy_tpu.utils.encoding import grind, nonce_to_item
 
-            nonce = grind(proof_stream.prover_fiat_shamir(), self.grinding_bits)
+            with _tphase("fri.grind"):
+                nonce = grind(
+                    proof_stream.prover_fiat_shamir(), self.grinding_bits
+                )
             proof_stream.push({"pow_nonce": nonce_to_item(nonce)})
 
         # Query phase: indices from the transcript AFTER the last codeword
@@ -476,25 +487,31 @@ class Fri:
             entry["fill"] = f1
             wave.extend(d1)
             pending.append(entry)
-        fetched = jax.device_get(wave) if wave else []
-        for entry in pending:
-            if "cur_slot" in entry:
-                entry["cur_cols"] = np.asarray(fetched[entry["cur_slot"]])
-            if "nxt_slot" in entry:
-                entry["nxt_cols"] = np.asarray(fetched[entry["nxt_slot"]])
-            base = entry["tree_base"]
-            entry["fill"](fetched[base : base + entry["tree_count"]])
-            self._emit_query_points(entry, proof_stream)
-        multiproofs = []
-        for entry in pending:
-            opened = sorted(
-                set(entry["a_idx"]) | {i + entry["half"] for i in entry["a_idx"]}
-            )
-            multiproofs.append(
-                [digest_to_item(d) for d in trees[entry["r"]].open_multi(opened)]
-            )
-        if rounds > 1:
-            proof_stream.push({"fri_multiproofs": multiproofs})
+        with _tphase("fri.query-gather"):
+            fetched = jax.device_get(wave) if wave else []
+        with _tphase("fri.query-emit"):
+            for entry in pending:
+                if "cur_slot" in entry:
+                    entry["cur_cols"] = np.asarray(fetched[entry["cur_slot"]])
+                if "nxt_slot" in entry:
+                    entry["nxt_cols"] = np.asarray(fetched[entry["nxt_slot"]])
+                base = entry["tree_base"]
+                entry["fill"](fetched[base : base + entry["tree_count"]])
+                self._emit_query_points(entry, proof_stream)
+            multiproofs = []
+            for entry in pending:
+                opened = sorted(
+                    set(entry["a_idx"])
+                    | {i + entry["half"] for i in entry["a_idx"]}
+                )
+                multiproofs.append(
+                    [
+                        digest_to_item(d)
+                        for d in trees[entry["r"]].open_multi(opened)
+                    ]
+                )
+            if rounds > 1:
+                proof_stream.push({"fri_multiproofs": multiproofs})
         return top_indices
 
     def _host_tail(

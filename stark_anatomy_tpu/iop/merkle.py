@@ -112,6 +112,32 @@ def _leaf_word_planes(columns: Sequence) -> jnp.ndarray:
     return jnp.stack(planes)
 
 
+def _bitrev_lanes(x: jax.Array) -> jax.Array:
+    """Bit-reversal permutation of the lane (minor) axis of (P, n) planes.
+
+    Same rowperm -> transpose -> rowperm factorization as the NTT's
+    ops/ntt_pallas.py _bit_reverse_fast (a flat lane gather of n elements
+    moves one element per descriptor and would dominate the commit):
+    i = hi*B + lo gives rev(i) = rev_b(lo)*A + rev_a(hi), two contiguous
+    major-axis row gathers around one 2-D transpose."""
+    from stark_anatomy_tpu.ops.ntt import bit_reverse_indices
+
+    p, n = int(x.shape[0]), int(x.shape[-1])
+    bits = n.bit_length() - 1
+    a_bits = bits // 2
+    a, b = 1 << a_bits, 1 << (bits - a_bits)
+    rev_a = jnp.asarray(bit_reverse_indices(a).astype(np.int32))
+    rev_b = jnp.asarray(bit_reverse_indices(b).astype(np.int32))
+    x2 = jnp.take(x.reshape(p, a, b), rev_a, axis=1)
+    x2 = jnp.take(jnp.swapaxes(x2, 1, 2), rev_b, axis=1)
+    return x2.reshape(p, n)
+
+
+def _rev_bits(i: int, k: int) -> int:
+    """Host-side k-bit reversal (the plane-level storage map)."""
+    return int(format(i, f"0{k}b")[::-1], 2) if k else 0
+
+
 def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = True):
     """(all device levels as a tuple, first small level for the host tail).
 
@@ -139,20 +165,32 @@ def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = 
         # Plane-major all the way down: transposing a (16, m) digest array
         # to row-major costs multiple full passes on TPU (measured: the
         # transposes alone pushed the commit program to 13 GB of temp and
-        # ~40x input bytes accessed). Levels are STORED plane-major;
-        # MerkleTree gathers columns instead of rows for opens.
+        # ~40x input bytes accessed). Levels are STORED plane-major AND in
+        # BIT-REVERSED lane order: with children stored bit-reversed, the
+        # pair of parent-storage-slot t is exactly (lane t, lane t + m/2)
+        # — rev_k(2j) = rev_{k-1}(j), rev_k(2j+1) = rev_{k-1}(j) + m/2 —
+        # so every reduction is a free first-half/second-half split and
+        # the parent level comes out bit-reversed too. The previous
+        # even/odd strided-lane slices cost a cross-lane shuffle pass per
+        # level (measured ~0.9s of the 1.0s 2^24 commit; this layout
+        # cuts the level loop to the hash kernels' ~50ms). MerkleTree
+        # maps logical -> storage indices on open (bitrev_planes=True).
         dig = bp.blake2b_planes(_leaf_word_planes(columns), msg_len)  # (16, n)
+        dig = _bitrev_lanes(dig)  # storage order
         while int(dig.shape[1]) > 2 * _DEVICE_MIN_BATCH and int(dig.shape[1]) % 2048 == 0:
             if store_leaves or not first:
                 plane_levels.append(dig)
             first = False
-            # Even/odd lane split via strided slices: a reshape to a
-            # trailing (…, 2) axis gets lane-padded 2->128 by TPU tiling
-            # (measured 4x memory expansion, 13.4 GB of temp for this
-            # program); strided slices lower to one clean pass (1.07 GB).
-            msg = jnp.concatenate([dig[:, 0::2], dig[:, 1::2]], axis=0)  # (32, m/2)
+            half = int(dig.shape[1]) // 2
+            msg = jnp.concatenate([dig[:, :half], dig[:, half:]], axis=0)  # (32, m/2)
             dig = bp.blake2b_planes(msg, 128)
-        cur = jnp.transpose(dig)  # small boundary transpose only
+        # Restore natural order for the small row/top levels (the rev
+        # permutation is an involution); one tiny gather.
+        m0 = int(dig.shape[1])
+        from stark_anatomy_tpu.ops.ntt import bit_reverse_indices
+
+        perm = jnp.asarray(bit_reverse_indices(m0).astype(np.int32))
+        cur = jnp.transpose(jnp.take(dig, perm, axis=1))
     else:
         cur = _hash_leaves_traced(columns, msg_len)
     while int(cur.shape[0]) > 2 * _DEVICE_MIN_BATCH:
@@ -263,6 +301,7 @@ def assemble_fused_tree(
         levels,
         leaf_columns=None if store_leaves else cols,
         plane_levels=plane_set,
+        bitrev_planes=True,
     )
 
 
@@ -303,6 +342,7 @@ class MerkleTree:
         levels: List,
         leaf_columns: List | None = None,
         plane_levels: frozenset = frozenset(),
+        bitrev_planes: bool = False,
     ):
         """levels[0] may be None when leaf_columns is given: opens then
         recompute leaf digests from the codeword columns (host hashing of
@@ -314,13 +354,27 @@ class MerkleTree:
         plane_levels: indices of levels stored PLANE-major as (16, m)
         word planes (the Pallas hash pipeline's layout — transposing to
         row-major on TPU costs full extra passes per level); digests for
-        those levels are gathered as columns."""
+        those levels are gathered as columns.
+
+        bitrev_planes: plane levels are additionally stored in
+        BIT-REVERSED lane order (the fused commit pipeline's layout —
+        _commit_levels_traced — which makes every tree reduction a free
+        half/half split instead of a strided lane shuffle); logical node
+        i of an m-node plane level then lives at lane rev_log2(m)(i)."""
         self.levels = levels
         self.leaf_columns = leaf_columns
         self.plane_levels = plane_levels
+        self.bitrev_planes = bitrev_planes
         if levels[0] is None and leaf_columns is None:
             raise ValueError("dropped leaf level requires leaf_columns")
         self._fetch_cache: dict = {}
+
+    def _plane_lane(self, arr, i: int) -> int:
+        """Logical node index -> storage lane of a plane-major level."""
+        if not self.bitrev_planes:
+            return i
+        m = int(arr.shape[1])
+        return _rev_bits(i, m.bit_length() - 1)
 
     def replace_leaf_columns(self, columns: List) -> None:
         """Repoint leaf recomputation at (e.g. host-offloaded) columns."""
@@ -419,7 +473,8 @@ class MerkleTree:
             if arr is None:
                 self._fetch_cache[key] = self._leaf_digests([index])[0]
             elif level in self.plane_levels:
-                col = np.asarray(jnp.asarray(arr)[:, index]).astype("<u4")
+                lane = self._plane_lane(arr, index)
+                col = np.asarray(jnp.asarray(arr)[:, lane]).astype("<u4")
                 self._fetch_cache[key] = col.tobytes()
             elif isinstance(arr, np.ndarray):
                 self._fetch_cache[key] = np.ascontiguousarray(
@@ -452,10 +507,13 @@ class MerkleTree:
                     self._fetch_cache[(level, i)] = d
                 continue
             plane = level in self.plane_levels
+            lanes = (
+                [self._plane_lane(arr, i) for i in need] if plane else need
+            )
             if isinstance(arr, np.ndarray):
                 if not plane:
                     continue
-                rows = arr[:, need].T
+                rows = arr[:, lanes].T
                 for pos, i in enumerate(need):
                     self._fetch_cache[(level, i)] = np.ascontiguousarray(
                         rows[pos], dtype="<u4"
@@ -463,7 +521,7 @@ class MerkleTree:
                 continue
             keys.append((level, need))
             if plane:
-                devs.append(jnp.take(jnp.asarray(arr), jnp.asarray(need), axis=1).T)
+                devs.append(jnp.take(jnp.asarray(arr), jnp.asarray(lanes), axis=1).T)
             else:
                 devs.append(jnp.asarray(arr)[jnp.asarray(need)])
 

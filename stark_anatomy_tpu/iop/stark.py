@@ -147,6 +147,35 @@ def _words_to_limbs_jit(words: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(parts)
 
 
+@partial(jax.jit, static_argnames=("f", "n", "store_leaves"))
+def _zk_phase_jit(key_data, off_tab, early, late_tables, f: int, n: int,
+                  store_leaves: bool):
+    """ONE dispatch for the whole zk-randomizer phase on TPU: threefry
+    draws -> mod-p coefficients -> coset NTT to F -> canonical form ->
+    leaf hashes -> every Merkle level. Op-for-op the _zk_codeword +
+    commit_columns_fused sequence (same fj/fp calls, the NTT through the
+    same Pallas kernels via eager stage tables), so bytes are identical
+    — the eager path previously cost ~10 separate dispatches plus a
+    second sync over the device link."""
+    from stark_anatomy_tpu.iop.merkle import _commit_levels_traced
+    from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+    key = jax.random.wrap_key_data(key_data, impl="threefry2x32")
+    raw = jax.random.bits(key, (16, n), dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+    z = fj.zeros((n,))
+    lo = fj.add(raw[:8], z)
+    hi = fj.add(raw[8:], z)
+    c128 = fj.full((n,), pow(2, 128, PRIME))
+    coeffs = fj.add(fj.mul(hi, c128), lo)
+    scaled = fj.mont_mul(fj.to_mont(coeffs), off_tab)
+    if n < f:
+        scaled = jnp.concatenate([scaled, fj.zeros((f - n,))], axis=1)
+    cw = ntp.ntt_with_tables(scaled, early, late_tables, False)
+    std = fp.from_mont(cw)
+    plane, rows, top = _commit_levels_traced((std,), 16, store_leaves)
+    return std, plane, rows, top
+
+
 def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
     """[base^0 .. base^(count-1)] Montgomery — trace-safe power table.
 
@@ -911,8 +940,11 @@ class Stark:
         # of the tutorial protocol; Merkle leaf salting is not needed on
         # top because every opened leaf value is already blinded.
         with phase("prove.zk-randomizer"):
-            zk_standard = self._zk_codeword(randomizer_seed)
-            zk_tree = self._commit_codewords([zk_standard])
+            if self.mesh is None and _fuse_enabled(f) and fp._on_tpu():
+                zk_standard, zk_tree = self._zk_commit_fused(randomizer_seed)
+            else:
+                zk_standard = self._zk_codeword(randomizer_seed)
+                zk_tree = self._commit_codewords([zk_standard])
         ps.push({"zk_root": digest_to_item(zk_tree.root)})
         import os as _os
 
@@ -972,6 +1004,31 @@ class Stark:
         coeffs = fj.add(fj.mul(hi, c128), lo)
         cw = nttmod.coset_evaluate(fj.to_mont(coeffs), f, self.offset)
         return self._shard(fp.from_mont(cw))
+
+    def _zk_commit_fused(self, seed: bytes):
+        """TPU fast path for the zk phase: codeword + tree from ONE
+        dispatch (_zk_phase_jit). Bit-identical to _zk_codeword +
+        _commit_codewords (pinned on device by tests/test_tpu_smoke.py).
+        """
+        import hashlib
+
+        from stark_anatomy_tpu.iop.merkle import (
+            _DROP_LEAVES_MIN,
+            assemble_fused_tree,
+        )
+        from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+        f = self.fri_domain_length
+        n = self.degree_target + 1
+        digest = hashlib.sha256(_ZK_TAG + seed).digest()
+        key_data = jnp.asarray(np.frombuffer(digest[:8], dtype="<u4").copy())
+        off_tab = nttmod.powers(self.offset, n)
+        early, late = ntp.stage_tables(f, False)
+        store = f < _DROP_LEAVES_MIN
+        std, plane, rows, top = _zk_phase_jit(
+            key_data, off_tab, early, late, f, n, store
+        )
+        return std, assemble_fused_tree(plane, rows, top, [std], store)
 
     def _trace_lde(self, trace, as_bytes, o, w, _randomizer):
         t_len = trace.shape[0]

@@ -68,3 +68,24 @@ def test_pow_and_inv_match(data):
     )
     got = fp.inv(a, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(fj.inv(a)))
+
+
+def test_batch_inv_matches_fermat_with_zeros():
+    # Montgomery batch inversion (n >= fp._BATCH_INV_MIN takes the
+    # group-scan scheme): must equal the Fermat ladder bit-for-bit —
+    # inverses are unique and canonical — and keep the 0 -> 0 convention.
+    rng = np.random.default_rng(11)
+    n = fp._BATCH_INV_MIN
+    a = np.array(random_felt_limbs(rng, (n,)))
+    zero_at = [0, 1, 129, n // 2, n - 1]
+    a[:, zero_at] = 0
+    x = jnp.asarray(a)
+    got = np.asarray(fp.inv(x))
+    want = np.asarray(fj.inv(x))
+    np.testing.assert_array_equal(got, want)
+    assert not got[:, zero_at].any()
+    # one size below the cutoff goes through the ladder and agrees too
+    small = jnp.asarray(np.array(random_felt_limbs(rng, (n // 2,))))
+    np.testing.assert_array_equal(
+        np.asarray(fp.inv(small)), np.asarray(fj.inv(small))
+    )

@@ -184,3 +184,42 @@ def test_sharded_merkle_body_matches_jnp_on_device():
         want = np.asarray(reference.levels[lv], dtype="<u4")
         arr = np.asarray(got[lv]).astype("<u4")
         np.testing.assert_array_equal(arr.T if f else arr, want)
+
+
+def test_zk_fused_phase_matches_eager_on_device():
+    # _zk_phase_jit (one-dispatch zk codeword + commit) must produce the
+    # same codeword and tree as the eager _zk_codeword + commit path —
+    # this is what guarantees TPU proof bytes equal the CPU goldens now
+    # that the TPU prover takes the fused branch.
+    from stark_anatomy_tpu.iop.merkle import commit_columns_fused
+    from stark_anatomy_tpu.iop.stark import Stark
+    from stark_anatomy_tpu.models.rescue_prime import RescuePrime, RescuePrimeAir
+
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=512)  # F = 2^16 >= default FUSE_MIN
+    stark = Stark(air, expansion_factor=4, num_colinearity_checks=4)
+    seed = b"zk-fused-smoke"
+    std_fused, tree_fused = stark._zk_commit_fused(seed)
+    std_eager = stark._zk_codeword(seed)
+    tree_eager = commit_columns_fused([std_eager])
+    np.testing.assert_array_equal(np.asarray(std_fused), np.asarray(std_eager))
+    assert tree_fused.root == tree_eager.root
+    for i in (0, 1, 12345, stark.fri_domain_length - 1):
+        assert tree_fused.open(i) == tree_eager.open(i)
+
+
+def test_batch_inv_matches_ladder_on_device(limb_batch):
+    # The batched-inversion scan (group prefix products + one recursive
+    # inverse) must match the addition-chain ladder bit-for-bit on real
+    # hardware, zeros included.
+    from stark_anatomy_tpu.ops import field_pallas as fp
+
+    a, _ = limb_batch
+    a = np.array(np.asarray(a))
+    zero_at = [0, 129, _N // 2, _N - 1]
+    a[:, zero_at] = 0
+    x = jnp.asarray(a)
+    got = np.asarray(fp.inv(x))  # batch path (_N >= _BATCH_INV_MIN)
+    # the ladder maps 0 -> 0 on its own (0^k = 0)
+    want = np.asarray(fp._inv_ladder(x, fp._make_mul(False)))
+    np.testing.assert_array_equal(got, want)

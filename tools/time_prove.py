@@ -9,8 +9,11 @@ STARK_ANATOMY_COUNT_DISPATCH=1.
     python tools/time_prove.py --chain 32765    # 2^20-row trace, F=2^24
 
 Sizing rule: T = 32*chain + 1 (RescuePrime.rows_per_perm = 32) and the
-omicron domain is next_pow2(T + 64 randomizer rows), so pick the largest
-chain with 32*chain + 65 <= 2^k. A chain that leaves a large padding gap
+omicron domain is next_pow2(T + num_randomizers) where num_randomizers
+defaults to 4*queries, so pick the largest chain with
+32*chain + 1 + 4*queries <= 2^k — e.g. 8189/32765 at 16 queries, but
+32763 for production-80's 32 queries (one domain doubling OOMs a 16 GB
+chip at F = 2^25). A chain that leaves a large padding gap
 (e.g. the old 27-rows/perm fixture 9705 -> 213k padding rows at O = 2^19)
 makes the transition-zerofier excluded-row product scan over every
 padding row — a single multi-minute dispatch that the TPU worker watchdog
@@ -36,6 +39,11 @@ def main() -> int:
     ap.add_argument("--chain", type=int, default=8189)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument(
+        "--profile", type=str, default=None,
+        help="named soundness profile (iop/stark.py PROFILES); default is "
+        "the historical 16-query blowup-4 config the round tables track",
+    )
     args = ap.parse_args()
 
     from stark_anatomy_tpu.iop.stark import Stark
@@ -44,7 +52,16 @@ def main() -> int:
 
     rp = RescuePrime()
     air = RescuePrimeAir(rp, chain_length=args.chain)
-    stark = Stark(air, expansion_factor=4, num_colinearity_checks=16)
+    if args.profile is not None:
+        stark = Stark.from_profile(args.profile, air)
+    else:
+        stark = Stark(air, expansion_factor=4, num_colinearity_checks=16)
+    print(
+        f"security: {stark.security_level()} bits conjectured / "
+        f"{stark.security_level(conjectured=False)} proven "
+        f"({stark.num_colinearity_checks} queries @ blowup "
+        f"{stark.expansion_factor} + {stark.grinding_bits} pow bits)"
+    )
     util = stark.trace_length / stark.omicron_domain_length
     print(
         f"T={stark.trace_length} w={stark.num_registers} "
