@@ -67,21 +67,33 @@ def _local_levels(*columns, flags: Tuple[bool, ...], msg_len: int, interp: bool)
     """
     out = []
     if flags[0]:
+        from stark_anatomy_tpu.iop.merkle import _bitrev_lanes
         from stark_anatomy_tpu.ops import blake2b_pallas as bp
+        from stark_anatomy_tpu.ops.ntt import bit_reverse_indices
 
         dig = bp.blake2b_planes(_leaf_word_planes(columns), msg_len, interpret=interp)
+        # Same bit-reversed lane order as the fused single-device commit
+        # (iop/merkle.py): each reduction becomes a free half/half lane
+        # split instead of a per-level strided shuffle pass. The host
+        # materialization in commit_sharded un-reverses each shard block,
+        # so the stored MerkleTree levels stay natural-order.
+        dig = _bitrev_lanes(dig)
         out.append(dig)
         cur = None
         for f in flags[1:]:
             if f:
-                # Even/odd lane split (strided slices — see iop/merkle.py
-                # for the tiling rationale): pair (2i, 2i+1) -> message i.
-                msg = jnp.concatenate([dig[:, 0::2], dig[:, 1::2]], axis=0)
+                half = int(dig.shape[1]) // 2
+                msg = jnp.concatenate([dig[:, :half], dig[:, half:]], axis=0)
                 dig = bp.blake2b_planes(msg, 128, interpret=interp)
                 out.append(dig)
             else:
                 if cur is None:
-                    cur = jnp.transpose(dig)  # small boundary transpose
+                    # restore natural order (rev is an involution), then
+                    # transpose for the row-major jnp tail
+                    perm = jnp.asarray(
+                        bit_reverse_indices(int(dig.shape[1])).astype(np.int32)
+                    )
+                    cur = jnp.transpose(jnp.take(dig, perm, axis=1))
                 pairs = cur.reshape(-1, 2, 16)
                 cur = merkle_node_hash(pairs[:, 0, :], pairs[:, 1, :])
                 out.append(cur)
@@ -130,6 +142,19 @@ def commit_sharded(columns: Sequence, mesh) -> MerkleTree:
 
     levels: List[np.ndarray] = [np.asarray(lv) for lv in device_levels]
     plane_set = frozenset(i for i, f in enumerate(flags) if f)
+    # The kernel body emits plane levels with each shard's lanes in
+    # bit-reversed order (free half/half reductions on device); restore
+    # natural order here — one host fancy-index per level — so the tree's
+    # open/prefetch paths need no storage mapping.
+    from stark_anatomy_tpu.ops.ntt import bit_reverse_indices
+
+    for idx in plane_set:
+        arr = levels[idx]
+        m_l = arr.shape[1] // s
+        perm = bit_reverse_indices(m_l)
+        levels[idx] = np.ascontiguousarray(
+            arr.reshape(16, s, m_l)[:, :, perm].reshape(16, -1)
+        )
     # Host top: reduce the S subtree roots.
     cur = levels[-1].astype("<u4")
     while cur.shape[0] > 1:

@@ -114,9 +114,17 @@ def test_sharded_merkle_kernel_body_bit_exact(monkeypatch):
         shards.append(
             ms._local_levels(*block, flags=flags, msg_len=32, interp=True)
         )
+    from stark_anatomy_tpu.ops.ntt import bit_reverse_indices
+
     levels = []
     for lv, f in enumerate(flags):
         parts = [np.asarray(sh[lv]) for sh in shards]
+        if f:
+            # The body emits each shard's plane lanes in BIT-REVERSED
+            # order (free half/half reductions on device); commit_sharded
+            # un-reverses at host materialization — model that here.
+            perm = bit_reverse_indices(parts[0].shape[1])
+            parts = [p[:, perm] for p in parts]
         levels.append(np.concatenate(parts, axis=1 if f else 0))
     # Assembled levels == the reference tree's levels (plane levels are
     # the same digests stored transposed).
