@@ -225,24 +225,12 @@ def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
     return acc
 
 
-def _excluded_prod(x_cw: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
-    """prod_r (x - root_r) over the excluded-row roots, one lax.scan."""
-    f = x_cw.shape[-1]
-
-    def step(prod, root):
-        term = fp.sub(x_cw, jnp.broadcast_to(root.reshape(8, 1), (8, f)))
-        return fp.mont_mul(prod, term), None
-
-    prod, _ = jax.lax.scan(step, _const_mont(1, f), roots)
-    return prod
-
-
 @partial(jax.jit, static_argnames=("bps_shape",))
 def _boundary_phase_jit(
     t_lde,
     x_cw: jnp.ndarray,
     xo_cw: jnp.ndarray,
-    excl_roots: jnp.ndarray,
+    excl_cw: jnp.ndarray,
     interp_mont: jnp.ndarray,
     root_monts: jnp.ndarray,
     bps_shape: tuple,
@@ -253,7 +241,9 @@ def _boundary_phase_jit(
     interp_mont: (w, D, 8) Montgomery interpolant coeffs (zero-padded).
     root_monts: (w, R, 8) Montgomery zerofier roots (padding ignored).
     bps_shape: per-register (num_coeffs, num_roots) — static structure.
-    excl_roots: (k, 8) Montgomery omicron^r for the excluded rows.
+    excl_cw: (8, F) Montgomery evals of the excluded-row product
+    (Stark._excluded_codeword — one coset NTT, replacing the old
+    2-passes-per-excluded-row pointwise scan).
 
     Returns (bq_standard tuple, zt_inv). Values are bit-identical to the
     eager per-register path: field math is exact, so evaluation order and
@@ -303,26 +293,21 @@ def _boundary_phase_jit(
         fp.from_mont(fp.mont_mul(fp.sub(t_lde[j], b_cws[j]), invs[j]))
         for j in range(w)
     )
-    zt_inv = fp.mont_mul(_excluded_prod(x_cw, excl_roots), invs[w])
+    zt_inv = fp.mont_mul(excl_cw, invs[w])
     return bq_std, zt_inv
 
 
 @jax.jit
-def _zt_inv_jit(x_cw: jnp.ndarray, xo_cw: jnp.ndarray, roots: jnp.ndarray) -> jnp.ndarray:
-    """prod_r (x - root_r) * inv(x^O - 1) as one dispatch.
+def _zt_inv_jit(excl_cw: jnp.ndarray, xo_cw: jnp.ndarray) -> jnp.ndarray:
+    """excluded-row product * inv(x^O - 1) as one dispatch.
 
-    Op-for-op the eager sequence (ascending r, then the denominator
-    inverse, then the final product), so values are bit-identical.
+    excl_cw comes from Stark._excluded_codeword (exact polynomial
+    identity — same field values as the old per-root pointwise product,
+    canonical representatives, so bytes are unchanged).
     """
-    f = x_cw.shape[-1]
-
-    def step(prod, root):
-        term = fp.sub(x_cw, jnp.broadcast_to(root.reshape(8, 1), (8, f)))
-        return fp.mont_mul(prod, term), None
-
-    prod, _ = jax.lax.scan(step, _const_mont(1, f), roots)
+    f = xo_cw.shape[-1]
     denom_inv = fp.inv(fp.sub(xo_cw, _const_mont(1, f)))
-    return fp.mont_mul(prod, denom_inv)
+    return fp.mont_mul(excl_cw, denom_inv)
 
 
 def _sync(arr) -> None:
@@ -704,25 +689,42 @@ class Stark:
         """(8, F) Montgomery evals of 1/Z_transition on the FRI coset.
 
         Z_t vanishes on rows 0..T-2: Z_t = (x^O - 1) / prod_excluded, so
-        1/Z_t = prod_{r=T-1}^{O-1}(x - omicron^r) * inv(x^O - 1).
-        The ~num_randomizers-step product runs as ONE jitted scan — the
-        eager loop was 2 dispatches per excluded row, which dominates
-        wall time over a remote-device link.
+        1/Z_t = prod_{r=T-1}^{O-1}(x - omicron^r) * inv(x^O - 1), with
+        the excluded-row product evaluated by one coset NTT
+        (_excluded_codeword).
         """
         if "zt_inv" not in self._cache:
             o = self.omicron_domain_length
-            roots = jnp.asarray(
-                ints_to_limbs(
-                    [
-                        pow(self.omicron, r, PRIME) * R_MOD_P % PRIME
-                        for r in range(self.trace_length - 1, o)
-                    ]
-                ).T.copy()
-            )  # (k, 8)
             self._cache["zt_inv"] = _zt_inv_jit(
-                self._x_codeword(), self._x_pow_codeword(o), roots
+                self._excluded_codeword(), self._x_pow_codeword(o)
             )
         return self._cache["zt_inv"]
+
+    def _excluded_codeword(self) -> jnp.ndarray:
+        """(8, F) Montgomery evals of prod_{r=T-1}^{O-1}(x - omicron^r)
+        on the FRI coset — the transition zerofier's excluded-row factor.
+
+        The degree-(num excluded rows) polynomial's coefficients are
+        computed exactly on host (O(k^2) int ops, sub-millisecond at the
+        ~100-row production sizes) and evaluated with ONE coset NTT. The
+        previous formulation multiplied the k linear factors pointwise —
+        2 full-codeword passes PER EXCLUDED ROW, ~1.1s of the boundary
+        phase at F = 2^24. Same field values (exact polynomial identity,
+        canonical representatives), so proof bytes are unchanged.
+        """
+        o = self.omicron_domain_length
+        coeffs = [1]
+        for r in range(self.trace_length - 1, o):
+            root = pow(self.omicron, r, PRIME)
+            nxt = [0] * (len(coeffs) + 1)
+            for i, c in enumerate(coeffs):
+                nxt[i] = (nxt[i] - c * root) % PRIME
+                nxt[i + 1] = (nxt[i + 1] + c) % PRIME
+            coeffs = nxt
+        cm = ints_to_limbs([c * R_MOD_P % PRIME for c in coeffs])
+        return nttmod.coset_evaluate(
+            jnp.asarray(cm), self.fri_domain_length, self.offset
+        )
 
     def _boundary_polys(self, boundary) -> List[dict]:
         """Per-register interpolant coeffs + zerofier root list (host)."""
@@ -889,12 +891,6 @@ class Stark:
                         interp_m[j, d] = int_to_limbs(c * R_MOD_P % PRIME)
                     for r_i, r in enumerate(bp["roots"]):
                         root_m[j, r_i] = int_to_limbs(r * R_MOD_P % PRIME)
-                excl = ints_to_limbs(
-                    [
-                        pow(self.omicron, r, PRIME) * R_MOD_P % PRIME
-                        for r in range(self.trace_length - 1, o)
-                    ]
-                ).T.copy()
                 bps_shape = tuple(
                     (len(bp["interpolant"]), len(bp["roots"])) for bp in bps
                 )
@@ -902,7 +898,7 @@ class Stark:
                     tuple(t_lde),
                     self._x_codeword(),
                     self._x_pow_codeword(o),
-                    jnp.asarray(excl),
+                    self._excluded_codeword(),
                     jnp.asarray(interp_m),
                     jnp.asarray(root_m),
                     bps_shape,
