@@ -461,8 +461,10 @@ class Fri:
         # tree ships nothing at all — the verifier already rebuilds it
         # from fri_last_codeword, so c values there are checked by direct
         # lookup. Roughly halves the proof vs per-leaf paths.
+        from stark_anatomy_tpu.iop.merkle import gather_requests
+
         indices = list(top_indices)
-        wave: List = []
+        requests: List = []
         pending: List[dict] = []
         for r in range(rounds - 1):
             n = self.domain_length >> r
@@ -474,21 +476,25 @@ class Fri:
             if isinstance(cur, np.ndarray):
                 entry["cur_cols"] = cur[:, a_idx + b_idx]
             else:
-                entry["cur_slot"] = len(wave)
-                wave.append(jnp.take(cur, jnp.asarray(a_idx + b_idx), axis=1))
+                entry["cur_slot"] = len(requests)
+                requests.append((cur, a_idx + b_idx, "col"))
             if isinstance(nxt, np.ndarray):
                 entry["nxt_cols"] = nxt[:, a_idx]
             else:
-                entry["nxt_slot"] = len(wave)
-                wave.append(jnp.take(nxt, jnp.asarray(a_idx), axis=1))
+                entry["nxt_slot"] = len(requests)
+                requests.append((nxt, a_idx, "col"))
             d1, f1 = trees[r]._prefetch_plan(a_idx + b_idx)
-            entry["tree_base"] = len(wave)
+            entry["tree_base"] = len(requests)
             entry["tree_count"] = len(d1)
             entry["fill"] = f1
-            wave.extend(d1)
+            requests.extend(d1)
             pending.append(entry)
         with _tphase("fri.query-gather"):
-            fetched = jax.device_get(wave) if wave else []
+            # Every round's codeword columns + path rows in ONE jitted
+            # gather + ONE transfer (iop/merkle.py gather_requests):
+            # ~hundreds of separate gather kernels cost ~2 ms apiece of
+            # dispatch/execution overhead on a remote device.
+            fetched = gather_requests(requests)
         with _tphase("fri.query-emit"):
             for entry in pending:
                 if "cur_slot" in entry:

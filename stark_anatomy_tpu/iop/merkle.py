@@ -138,6 +138,49 @@ def _rev_bits(i: int, k: int) -> int:
     return int(format(i, f"0{k}b")[::-1], 2) if k else 0
 
 
+@partial(jax.jit, static_argnames=("kinds",))
+def _gather_flat_jit(arrays, idxs, kinds):
+    """Many small gathers -> ONE flat uint32 vector, one dispatch.
+
+    kinds (static) select the per-request layout: "col" = take along the
+    lane axis of an (8, n) codeword, emitted row-major as (8, k); "plane"
+    = take columns of a (16, m) digest plane level, emitted as (k, 16)
+    rows; "row" = take rows of an (m, 16) level. The query phases issue
+    hundreds of such gathers per proof — dispatching each separately
+    cost ~2 ms of per-kernel overhead apiece on a remote device.
+    """
+    parts = []
+    for arr, ix, kind in zip(arrays, idxs, kinds):
+        if kind == "col":
+            parts.append(jnp.take(arr, ix, axis=1).reshape(-1))
+        elif kind == "plane":
+            parts.append(jnp.transpose(jnp.take(arr, ix, axis=1)).reshape(-1))
+        else:
+            parts.append(jnp.take(arr, ix, axis=0).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def gather_requests(requests) -> List[np.ndarray]:
+    """Execute gather requests [(device_array, lanes, kind)] as ONE
+    jitted dispatch + ONE device->host transfer; returns host arrays
+    shaped (8, k) for "col" and (k, 16) otherwise, in request order."""
+    if not requests:
+        return []
+    arrays = tuple(r[0] for r in requests)
+    idxs = tuple(jnp.asarray(np.asarray(r[1], dtype=np.int32)) for r in requests)
+    kinds = tuple(r[2] for r in requests)
+    host = np.asarray(_gather_flat_jit(arrays, idxs, kinds))
+    out: List[np.ndarray] = []
+    off = 0
+    for arr, lanes, kind in requests:
+        k = len(lanes)
+        shp = (int(arr.shape[0]), k) if kind == "col" else (k, 16)
+        sz = shp[0] * shp[1]
+        out.append(host[off : off + sz].reshape(shp))
+        off += sz
+    return out
+
+
 def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = True):
     """(all device levels as a tuple, first small level for the host tail).
 
@@ -486,17 +529,16 @@ class MerkleTree:
         return self._fetch_cache[key]
 
     def _prefetch_plan(self, leaf_indices: Sequence[int]):
-        """(device_arrays, fill) for the path rows the given opens need.
+        """(requests, fill) for the path rows the given opens need.
 
-        Dispatches one async device gather per level and returns the
-        un-fetched device arrays plus a `fill(host_rows_list)` that
-        populates the digest cache once the caller has transferred them.
-        Callers batch the transfers of MANY trees into one
-        jax.device_get wave (prefetch_many) — over a remote-device link
-        the per-fetch round trip, not the bytes, dominates the FRI query
-        phase."""
+        requests are UN-dispatched (device_array, lanes, kind) gather
+        descriptors for gather_requests — callers funnel MANY trees'
+        requests through ONE jitted gather + ONE transfer (the per-kernel
+        dispatch overhead, not the bytes, dominated the FRI query phase
+        on a remote device). fill(host_rows_list) populates the digest
+        cache from the request results, in order."""
         keys = []
-        devs = []
+        reqs = []
         for level, arr in enumerate(self.levels[:-1]):
             need = sorted({(i >> level) ^ 1 for i in leaf_indices})
             need = [i for i in need if (level, i) not in self._fetch_cache]
@@ -520,10 +562,9 @@ class MerkleTree:
                     ).tobytes()
                 continue
             keys.append((level, need))
-            if plane:
-                devs.append(jnp.take(jnp.asarray(arr), jnp.asarray(lanes), axis=1).T)
-            else:
-                devs.append(jnp.asarray(arr)[jnp.asarray(need)])
+            reqs.append(
+                (jnp.asarray(arr), lanes, "plane" if plane else "row")
+            )
 
         def fill(host_rows) -> None:
             for (level, need), rows in zip(keys, host_rows):
@@ -531,14 +572,14 @@ class MerkleTree:
                 for pos, i in enumerate(need):
                     self._fetch_cache[(level, i)] = rows[pos].tobytes()
 
-        return devs, fill
+        return reqs, fill
 
     def _prefetch(self, leaf_indices: Sequence[int]) -> None:
-        """Gather every path row the given leaf opens need — one device
-        gather per level, one batched transfer wave."""
-        devs, fill = self._prefetch_plan(leaf_indices)
-        if devs:
-            fill(jax.device_get(devs))
+        """Gather every path row the given leaf opens need — one fused
+        device gather, one transfer."""
+        reqs, fill = self._prefetch_plan(leaf_indices)
+        if reqs:
+            fill(gather_requests(reqs))
 
     @property
     def root(self) -> bytes:

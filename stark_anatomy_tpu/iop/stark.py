@@ -1276,32 +1276,34 @@ class Stark:
         need_list = sorted(need)
         zk_idx = sorted({i % f for i in top_indices} | {(i + f // 2) % f for i in top_indices})
 
-        wave: List = []
+        from stark_anatomy_tpu.iop.merkle import gather_requests
+
+        requests: List = []
         slots: Dict[str, int] = {}
         host_cols: Dict[str, np.ndarray] = {}
         for j, q in enumerate(bq_standard):
             if isinstance(q, np.ndarray):
                 host_cols[f"bq{j}"] = q[:, need_list]
             else:
-                slots[f"bq{j}"] = len(wave)
-                wave.append(jnp.take(q, jnp.asarray(need_list), axis=1))
+                slots[f"bq{j}"] = len(requests)
+                requests.append((q, need_list, "col"))
         if isinstance(zk_standard, np.ndarray):
             host_cols["zk"] = zk_standard[:, zk_idx]
         else:
-            slots["zk"] = len(wave)
-            wave.append(jnp.take(zk_standard, jnp.asarray(zk_idx), axis=1))
-        bq_devs, bq_fill = bq_tree._prefetch_plan(need_list)
-        zk_devs, zk_fill = zk_tree._prefetch_plan(zk_idx)
-        bq_base, zk_base = len(wave), len(wave) + len(bq_devs)
-        wave.extend(bq_devs)
-        wave.extend(zk_devs)
-        import jax as _jax
-
-        fetched = _jax.device_get(wave) if wave else []
+            slots["zk"] = len(requests)
+            requests.append((zk_standard, zk_idx, "col"))
+        bq_reqs, bq_fill = bq_tree._prefetch_plan(need_list)
+        zk_reqs, zk_fill = zk_tree._prefetch_plan(zk_idx)
+        bq_base, zk_base = len(requests), len(requests) + len(bq_reqs)
+        requests.extend(bq_reqs)
+        requests.extend(zk_reqs)
+        # ONE jitted gather + ONE transfer for every opening this phase
+        # needs (iop/merkle.py gather_requests).
+        fetched = gather_requests(requests)
         for name, slot in slots.items():
             host_cols[name] = np.asarray(fetched[slot])
-        bq_fill(fetched[bq_base : bq_base + len(bq_devs)])
-        zk_fill(fetched[zk_base : zk_base + len(zk_devs)])
+        bq_fill(fetched[bq_base : bq_base + len(bq_reqs)])
+        zk_fill(fetched[zk_base : zk_base + len(zk_reqs)])
 
         bq_values = {
             idx: [int(v) for v in vals]
