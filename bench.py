@@ -13,7 +13,7 @@ fetching a word of the final result — block_until_ready alone returns
 early over the axon TPU relay and under-reports wildly.
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "vs_prev_round": N}
 
 Environment knobs: BENCH_NTT_LOG2 (default 24), BENCH_REPS (default 5).
 """
@@ -35,6 +35,14 @@ os.environ.setdefault(
 #: the round-1 run (2026-08-17, Pallas NTT path); later rounds report
 #: speedups against it. The pre-kernel jnp path measured 5.35e7.
 _ESTABLISHED: float | None = 6.137e8
+
+#: Previous round's measured value (BENCH_r04.json) — the JSON line carries
+#: BOTH deltas so the driver artifact is self-interpreting (VERDICT r4
+#: item 9): vs_baseline = progress since the kernel path was first
+#: established, vs_prev_round = round-over-round delta. The kernel has been
+#: at the measured VPU roof since round 3 (~95-97%, BASELINE.md), so
+#: vs_prev_round ~ 1.0 is the expected steady state.
+_PREV_ROUND: float | None = 2.1316e9
 
 
 def main() -> None:
@@ -64,6 +72,7 @@ def main() -> None:
     butterflies = (n // 2) * log2n
     value = butterflies / dt
     vs = value / _ESTABLISHED if _ESTABLISHED else 1.0
+    vs_prev = value / _PREV_ROUND if _PREV_ROUND else 1.0
     print(
         json.dumps(
             {
@@ -71,6 +80,7 @@ def main() -> None:
                 "value": value,
                 "unit": "butterflies/s",
                 "vs_baseline": round(vs, 4),
+                "vs_prev_round": round(vs_prev, 4),
             }
         )
     )

@@ -182,7 +182,7 @@ class Fri:
             )
 
     def security_bits(self, conjectured: bool = True) -> float:
-        """Soundness of the FRI query phase, in bits.
+        """Soundness of the FRI query phase, in bits (docs/SOUNDNESS.md §1).
 
         Each of the q = num_colinearity_tests queries independently probes
         the committed word at a transcript-random position (indices are

@@ -504,7 +504,9 @@ class Stark:
     def security_terms(self, conjectured: bool = True) -> dict:
         """Every soundness term of the full protocol, in bits.
 
-        The protocol's soundness error is the sum of the per-phase cheating
+        Full derivation with references (ethSTARK ePrint 2021/582 §5-6,
+        BBHR18, BCIKS20 proximity gaps): docs/SOUNDNESS.md. The protocol's
+        soundness error is the sum of the per-phase cheating
         probabilities; the LEVEL is the minimum term (the attacker takes
         the cheapest path):
 
