@@ -102,15 +102,39 @@ static inline u128 from_mont(u128 a) { return mont_mul(a, 1); }
 
 static inline u128 mul_mod(u128 a, u128 b) { return mont_mul(to_mont(a), b); }
 
-static inline u128 pow_mod(u128 base, u128 exp) {
-    u128 result = 1;
-    u128 b = base % P;
-    while (exp) {
-        if (exp & 1) result = mul_mod(result, b);
-        b = mul_mod(b, b);
-        exp >>= 1;
+// 2^128 mod p == the Montgomery form of 1. p < 2^128 < 2p, so the wrapped
+// two's-complement negation IS the reduced value.
+static const u128 R_MOD = (u128)0 - P;
+
+// Montgomery-domain exponentiation, 4-bit windows: ~127 squarings + ~31
+// window products + 14 table products, every one a SINGLE REDC — the
+// previous canonical-form ladder paid TWO REDCs per multiply (to_mont of
+// one operand each time) for ~384 REDCs on the 127-bit trace-generation
+// exponent; this is ~170. Same values (Montgomery representatives are
+// canonical, < p).
+static inline u128 mont_pow(u128 base_m, u128 exp) {
+    if (!exp) return R_MOD;
+    u128 tbl[16];
+    tbl[0] = R_MOD;
+    tbl[1] = base_m;
+    for (int i = 2; i < 16; ++i) tbl[i] = mont_mul(tbl[i - 1], base_m);
+    int hi_bit = 127;
+    while (!((exp >> hi_bit) & 1)) --hi_bit;
+    int w = (hi_bit / 4) * 4;
+    u128 acc = tbl[(u64)(exp >> w) & 0xF];
+    for (w -= 4; w >= 0; w -= 4) {
+        acc = mont_mul(acc, acc);
+        acc = mont_mul(acc, acc);
+        acc = mont_mul(acc, acc);
+        acc = mont_mul(acc, acc);
+        u64 d = (u64)(exp >> w) & 0xF;
+        if (d) acc = mont_mul(acc, tbl[d]);
     }
-    return result;
+    return acc;
+}
+
+static inline u128 pow_mod(u128 base, u128 exp) {
+    return from_mont(mont_pow(to_mont(base % P), exp));
 }
 
 extern "C" {
@@ -166,44 +190,119 @@ void felt_powers(const u8* base16, u8* out, size_t n) {
 void rescue_chain_trace(const u8* input16, u64 chain_length, u64 n_rounds,
                         u64 rows_per_perm, const u8* mds16, const u8* consts16,
                         const u8* alpha_inv16, u8* out_rows) {
+    // The whole chain runs in MONTGOMERY form: constants/MDS convert once
+    // up front, each row stores two from_mont conversions, and the
+    // inverse-S-box exponent runs the windowed mont_pow — together ~2.2x
+    // fewer REDC multiplies per row than the canonical-form loop
+    // (mul_mod pays a to_mont per call). Row values are identical: every
+    // op maps to the same mod-p value (tests/test_native.py pins the
+    // rows against the Python oracle).
     const int m = 2;
     u128 mds[4];
-    for (int i = 0; i < 4; ++i) mds[i] = load128(mds16 + 16 * i);
+    for (int i = 0; i < 4; ++i) mds[i] = to_mont(load128(mds16 + 16 * i));
     u128 ainv = load128(alpha_inv16);
-    u128 state[2] = {load128(input16) % P, 0};
-    store128(out_rows + 0, state[0]);
-    store128(out_rows + 16, state[1]);
+    // consts are reused every rows_per_perm rows; pre-convert all 2*m*N.
+    u64 n_consts = 2 * (u64)m * n_rounds;
+    u128 consts_m[4 * 64];  // N <= 64 rounds covers every Rescue instance
+    for (u64 i = 0; i < n_consts && i < 4 * 64; ++i)
+        consts_m[i] = to_mont(load128(consts16 + 16 * i));
+    u128 state[2] = {to_mont(load128(input16) % P), 0};
+    store128(out_rows + 0, from_mont(state[0]));
+    store128(out_rows + 16, from_mont(state[1]));
     u64 total = chain_length * rows_per_perm;
     for (u64 t = 0; t < total; ++t) {
         u64 r = t % rows_per_perm;
         u8* row_out = out_rows + 16 * (size_t)m * (t + 1);
         if (r >= n_rounds) {  // copy row (power-of-two padding)
-            store128(row_out + 0, state[0]);
-            store128(row_out + 16, state[1]);
+            store128(row_out + 0, from_mont(state[0]));
+            store128(row_out + 16, from_mont(state[1]));
             continue;
         }
-        const u8* c1 = consts16 + 16 * (2 * m * r);
-        const u8* c2 = consts16 + 16 * (2 * m * r + m);
+        const u128* c1 = consts_m + 2 * m * r;
+        const u128* c2 = consts_m + 2 * m * r + m;
         u128 cubed[2], mid[2];
         for (int i = 0; i < m; ++i) {
             u128 x = state[i];
-            cubed[i] = mul_mod(mul_mod(x, x), x);
+            cubed[i] = mont_mul(mont_mul(x, x), x);
         }
         for (int i = 0; i < m; ++i) {
-            u128 acc = add_mod(mul_mod(mds[2 * i], cubed[0]),
-                               mul_mod(mds[2 * i + 1], cubed[1]));
-            mid[i] = add_mod(acc, load128(c1 + 16 * i));
+            u128 acc = add_mod(mont_mul(mds[2 * i], cubed[0]),
+                               mont_mul(mds[2 * i + 1], cubed[1]));
+            mid[i] = add_mod(acc, c1[i]);
         }
         u128 root[2];
-        for (int i = 0; i < m; ++i) root[i] = pow_mod(mid[i], ainv);
+        for (int i = 0; i < m; ++i) root[i] = mont_pow(mid[i], ainv);
         for (int i = 0; i < m; ++i) {
-            u128 acc = add_mod(mul_mod(mds[2 * i], root[0]),
-                               mul_mod(mds[2 * i + 1], root[1]));
-            state[i] = add_mod(acc, load128(c2 + 16 * i));
+            u128 acc = add_mod(mont_mul(mds[2 * i], root[0]),
+                               mont_mul(mds[2 * i + 1], root[1]));
+            state[i] = add_mod(acc, c2[i]);
         }
-        store128(row_out + 0, state[0]);
-        store128(row_out + 16, state[1]);
+        store128(row_out + 0, from_mont(state[0]));
+        store128(row_out + 16, from_mont(state[1]));
     }
+}
+
+// One FRI fold round on canonical 16-byte values (iop/fri.py _host_tail):
+//   out[i] = 2^{-1} * ((1 + a_i) * v[i] + (1 - a_i) * v[i + n/2]),
+//   a_i = alpha * offset_inv * omega_inv^i.
+// Exact same mod-p values as the Python big-int loop it replaces (the
+// host tail was ~0.4s of pure-Python folding per prove at 2^20).
+void fri_fold(const u8* values, u64 n, const u8* alpha16,
+              const u8* offset_inv16, const u8* omega_inv16, u8* out) {
+    u64 half = n / 2;
+    u128 alpha_m = to_mont(load128(alpha16) % P);
+    u128 dinv_m = to_mont(load128(offset_inv16) % P);
+    u128 winv_m = to_mont(load128(omega_inv16) % P);
+    u128 one_m = R_MOD;
+    u128 inv2_m = to_mont((P + 1) / 2);
+    for (u64 i = 0; i < half; ++i) {
+        u128 au = mont_mul(alpha_m, dinv_m);
+        u128 lo = to_mont(load128(values + 16 * i));
+        u128 hi = to_mont(load128(values + 16 * (i + half)));
+        u128 t = add_mod(mont_mul(add_mod(one_m, au), lo),
+                         mont_mul(sub_mod(one_m, au), hi));
+        store128(out + 16 * i, from_mont(mont_mul(inv2_m, t)));
+        dinv_m = mont_mul(dinv_m, winv_m);
+    }
+}
+
+// Rescue-Prime hash-chain OUTPUT only (no trace rows): the verifier-side
+// boundary computation needs just the final state; same math as
+// rescue_chain_trace without the row stores.
+void rescue_chain_output(const u8* input16, u64 chain_length, u64 n_rounds,
+                         const u8* mds16, const u8* consts16,
+                         const u8* alpha_inv16, u8* out16) {
+    const int m = 2;
+    u128 mds[4];
+    for (int i = 0; i < 4; ++i) mds[i] = to_mont(load128(mds16 + 16 * i));
+    u128 ainv = load128(alpha_inv16);
+    u64 n_consts = 2 * (u64)m * n_rounds;
+    u128 consts_m[4 * 64];
+    for (u64 i = 0; i < n_consts && i < 4 * 64; ++i)
+        consts_m[i] = to_mont(load128(consts16 + 16 * i));
+    u128 state[2] = {to_mont(load128(input16) % P), 0};
+    for (u64 k = 0; k < chain_length; ++k) {
+        for (u64 r = 0; r < n_rounds; ++r) {
+            const u128* c1 = consts_m + 2 * m * r;
+            const u128* c2 = consts_m + 2 * m * r + m;
+            u128 cubed[2], mid[2], root[2];
+            for (int i = 0; i < m; ++i) {
+                u128 x = state[i];
+                cubed[i] = mont_mul(mont_mul(x, x), x);
+            }
+            for (int i = 0; i < m; ++i)
+                mid[i] = add_mod(add_mod(mont_mul(mds[2 * i], cubed[0]),
+                                         mont_mul(mds[2 * i + 1], cubed[1])),
+                                 c1[i]);
+            for (int i = 0; i < m; ++i) root[i] = mont_pow(mid[i], ainv);
+            for (int i = 0; i < m; ++i)
+                state[i] = add_mod(add_mod(mont_mul(mds[2 * i], root[0]),
+                                           mont_mul(mds[2 * i + 1], root[1])),
+                                   c2[i]);
+        }
+    }
+    store128(out16 + 0, from_mont(state[0]));
+    store128(out16 + 16, from_mont(state[1]));
 }
 
 }  // extern "C"

@@ -9,8 +9,9 @@ protocol the reference repo is a port of, per the links at
   new[i] = 2^-1 * ((1 + alpha/d_i) * c[i] + (1 - alpha/d_i) * c[i+n/2]),
   d_i = offset * omega^i — one fused elementwise pass, no scalar loops;
 - codeword commitments use the batched device Merkle/Blake2b pipeline
-  (iop/merkle.py); leaves are single canonical field elements
-  (utils/encoding.py leaf rule);
+  (iop/merkle.py) with PAIR leaves (grammar v3): leaf i of a length-n
+  codeword packs the canonical encodings of c[i] and c[i + n/2] — exactly
+  the pair every colinearity query opens (utils/encoding.py leaf rule);
 - the Fiat-Shamir transcript, index sampling, colinearity checks and path
   verification are host-side exact integer work (iop/proof_stream.py,
   ops/field.py) — tiny compared to folding/hashing.
@@ -19,15 +20,17 @@ Transcript item layout (all JSON-safe, see utils/encoding.py):
   {"fri_root": hex64}                          per round
   {"fri_last_codeword": [dec, ...]}            once
   {"pow_nonce": dec}                           once, iff grinding_bits > 0
-  {"fri_points": [[a,b,c] dec, ...]}           per query round
+  {"fri_points": [[a,b] dec, ...]}             per query round
   {"fri_multiproofs": [[hex64...] per tree]}   once (trees 0..rounds-2)
 
-The multiproof grammar (round 4; replaces per-leaf {"fri_paths"}): each
-tree ships ONE deduplicated batch opening (iop/merkle.py multiproof_plan)
-over the union of every index the query phase touches on it; round r's
-next-tree (c) openings fold into tree r+1's own set, and the last tree
-ships nothing (the verifier rebuilds it from fri_last_codeword). ~2x
-smaller proofs at production sizes; goldens regenerated.
+The multiproof grammar: each tree ships ONE deduplicated batch opening
+(iop/merkle.py multiproof_plan) over the pair leaves the query phase
+touches. Pair leaves (v3) halve the v2 shape twice over: the (i, i+n/2)
+openings collapse to one leaf with one path on a one-level-shorter tree,
+and the fold value c left the wire entirely — it is the NEXT round's own
+opened a/b (or a fri_last_codeword slot), so the verifier reads it there
+(see _verify). Grammar history in utils/encoding.py; goldens regenerated
+per version.
 """
 
 from __future__ import annotations
@@ -95,7 +98,7 @@ def _fold_jit(cw: jnp.ndarray, alpha_m: jnp.ndarray, inv_dom: jnp.ndarray) -> jn
 @partial(jax.jit, static_argnames=("store_leaves",))
 def _fold_commit_jit(cw, alpha_m, inv_dom, store_leaves: bool):
     """ONE dispatch for a full device FRI round: fold -> from_mont ->
-    leaf hash -> every Merkle level (VERDICT r3 item 3a). Values are
+    pair-leaf hash -> every Merkle level (VERDICT r3 item 3a). Values are
     op-for-op the eager fold + commit_columns_fused sequence, so bytes
     are identical; fusing removes two device round trips per round and
     lets XLA keep the fold output resident for the hash pipeline."""
@@ -103,7 +106,7 @@ def _fold_commit_jit(cw, alpha_m, inv_dom, store_leaves: bool):
 
     folded = _fold_jit(cw, alpha_m, inv_dom)
     standard = fp.from_mont(folded)
-    plane, rows, top = _commit_levels_traced((standard,), 16, store_leaves)
+    plane, rows, top = _commit_levels_traced((standard,), 32, store_leaves, pair=True)
     return folded, standard, plane, rows, top
 
 
@@ -130,7 +133,9 @@ def gather_columns(arr, idx_list: List[int]) -> np.ndarray:
     """
     if isinstance(arr, np.ndarray):
         return arr[:, idx_list]
-    return np.asarray(jnp.take(arr, jnp.asarray(idx_list), axis=1))
+    from stark_anatomy_tpu.parallel.mesh import host_gather
+
+    return host_gather(jnp.take(arr, jnp.asarray(idx_list), axis=1))
 
 
 def colinearity_check(points: List[Tuple[int, int]]) -> bool:
@@ -207,23 +212,16 @@ class Fri:
     def _gather_host(self, arr) -> np.ndarray:
         """Sharded/device array -> host numpy, safe under multi-process.
 
-        np.asarray on a mesh-sharded array requires every shard to be
-        process-local; on a multi-host pod the shards live on other
-        processes and it raises (ADVICE r3). Replicating through a jitted
-        identity first (XLA lowers it to an all-gather along the shard
-        axis) makes the value fully addressable everywhere. Single-process
-        runs skip the extra dispatch; host numpy passes straight through.
+        Delegates to parallel/mesh.py host_gather: np.asarray on a
+        mesh-sharded array requires every shard to be process-local; on a
+        multi-host pod the shards live on other processes and it raises
+        (ADVICE r3). host_gather replicates through a jitted identity
+        first (an all-gather along the shard axis). Exercised for real by
+        tests/test_multiprocess.py.
         """
-        if isinstance(arr, np.ndarray):
-            return arr
-        if self.mesh is not None and jax.process_count() > 1:
-            from jax.sharding import NamedSharding, PartitionSpec
+        from stark_anatomy_tpu.parallel.mesh import host_gather
 
-            arr = jax.jit(
-                lambda x: x,
-                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
-            )(arr)
-        return np.asarray(arr)
+        return host_gather(arr)
 
     @property
     def omega(self) -> int:
@@ -377,7 +375,7 @@ class Fri:
                 if pending is not None:
                     pr, ptree, pstd = pending
                     ptree.offload_to_host()
-                    codewords_dev[pr] = np.asarray(pstd)
+                    codewords_dev[pr] = self._gather_host(pstd)
                     ptree.replace_leaf_columns([codewords_dev[pr]])
                 pending = (r, tree, standard)
             # Codewords stay resident (device below the offload threshold);
@@ -401,7 +399,7 @@ class Fri:
                     int_to_limbs(alpha * R_MOD_P % PRIME), dtype=jnp.uint32
                 )
                 inv_dom = jnp.asarray(_inv_domain_mont(offset, omega, half))
-                store = half < _DROP_LEAVES_MIN
+                store = half // 2 < _DROP_LEAVES_MIN  # pair trees: n/2 leaves
                 codeword, std_next, plane, rows_dev, top = _fold_commit_jit(
                     codeword, alpha_m, inv_dom, store
                 )
@@ -409,7 +407,7 @@ class Fri:
                     prepared = (
                         std_next,
                         assemble_fused_tree(
-                            plane, rows_dev, top, [std_next], store
+                            plane, rows_dev, top, [std_next], store, pair=True
                         ),
                     )
             else:
@@ -419,7 +417,7 @@ class Fri:
         if pending is not None:
             pr, ptree, pstd = pending
             ptree.offload_to_host()
-            codewords_dev[pr] = np.asarray(pstd)
+            codewords_dev[pr] = self._gather_host(pstd)
             ptree.replace_leaf_columns([codewords_dev[pr]])
 
         with _tphase("fri.last-gather"):
@@ -455,12 +453,14 @@ class Fri:
         # trips per round — the dominant FRI cost over a remote link.
         #
         # Openings ship as ONE multiproof per tree (iop/merkle.py
-        # multiproof_plan; VERDICT r3 item 5): tree t's opened set is
-        # a_t ∪ b_t from its own round, which SUBSUMES round t-1's c
-        # openings (i_{t-1} folds to i_t or i_t + half_t), and the last
-        # tree ships nothing at all — the verifier already rebuilds it
-        # from fri_last_codeword, so c values there are checked by direct
-        # lookup. Roughly halves the proof vs per-leaf paths.
+        # multiproof_plan; VERDICT r3 item 5). Grammar v3 (pair leaves):
+        # round r opens PAIR leaf i_r of tree r, which binds BOTH
+        # colinearity values (a = c[i], b = c[i + half]) with one path;
+        # the c value is never shipped at all — it IS the next round's a
+        # or b (i_r folds to i_{r+1} = i_r mod half_{r+1}, so
+        # c_r = a_{r+1} if i_r < half_{r+1} else b_{r+1}), or a direct
+        # fri_last_codeword lookup on the final round. The last tree
+        # ships nothing — the verifier rebuilds it from fri_last_codeword.
         from stark_anatomy_tpu.iop.merkle import gather_requests
 
         indices = list(top_indices)
@@ -472,18 +472,13 @@ class Fri:
             a_idx = list(indices)
             b_idx = [i + n // 2 for i in indices]
             entry: dict = {"r": r, "a_idx": a_idx, "half": n // 2}
-            cur, nxt = codewords_dev[r], codewords_dev[r + 1]
+            cur = codewords_dev[r]
             if isinstance(cur, np.ndarray):
                 entry["cur_cols"] = cur[:, a_idx + b_idx]
             else:
                 entry["cur_slot"] = len(requests)
                 requests.append((cur, a_idx + b_idx, "col"))
-            if isinstance(nxt, np.ndarray):
-                entry["nxt_cols"] = nxt[:, a_idx]
-            else:
-                entry["nxt_slot"] = len(requests)
-                requests.append((nxt, a_idx, "col"))
-            d1, f1 = trees[r]._prefetch_plan(a_idx + b_idx)
+            d1, f1 = trees[r]._prefetch_plan(a_idx)
             entry["tree_base"] = len(requests)
             entry["tree_count"] = len(d1)
             entry["fill"] = f1
@@ -499,17 +494,12 @@ class Fri:
             for entry in pending:
                 if "cur_slot" in entry:
                     entry["cur_cols"] = np.asarray(fetched[entry["cur_slot"]])
-                if "nxt_slot" in entry:
-                    entry["nxt_cols"] = np.asarray(fetched[entry["nxt_slot"]])
                 base = entry["tree_base"]
                 entry["fill"](fetched[base : base + entry["tree_count"]])
                 self._emit_query_points(entry, proof_stream)
             multiproofs = []
             for entry in pending:
-                opened = sorted(
-                    set(entry["a_idx"])
-                    | {i + entry["half"] for i in entry["a_idx"]}
-                )
+                opened = sorted(set(entry["a_idx"]))
                 multiproofs.append(
                     [
                         digest_to_item(d)
@@ -539,10 +529,17 @@ class Fri:
         ]
         for r in range(start_round, rounds):
             limbs = ints_to_limbs(values)  # (8, n) np — query-phase format
+            h0 = len(values) // 2
             leaves = np.stack(
-                [np.frombuffer(_hash_felts([v]), dtype="<u4") for v in values]
+                [
+                    np.frombuffer(
+                        _hash_felts([values[i], values[i + h0]]), dtype="<u4"
+                    )
+                    for i in range(h0)
+                ]
             )
             tree = MerkleTree.commit(leaves, device=False)
+            tree.pair_leaves = True
             if checkpoint_dir is not None:
                 from stark_anatomy_tpu.utils import checkpoint as ckpt
 
@@ -556,20 +553,13 @@ class Fri:
             if r == rounds - 1:
                 break
             alpha = sample_field_element(proof_stream.prover_fiat_shamir())
-            half = len(values) // 2
-            inv2 = finv(2)
-            d_inv = finv(offset)
-            w_inv = finv(omega)
-            new_vals = []
-            for i in range(half):
-                au = alpha * d_inv % PRIME
-                new_vals.append(
-                    inv2
-                    * ((1 + au) * values[i] + (1 - au) * values[i + half])
-                    % PRIME
-                )
-                d_inv = d_inv * w_inv % PRIME
-            values = new_vals
+            # Native C fold when available (identical mod-p values; the
+            # pure-Python big-int loop was ~0.4s of the warm 2^20 prove).
+            from stark_anatomy_tpu import native
+
+            values = native.fri_fold_values(
+                values, alpha, finv(offset), finv(omega)
+            )
             omega = omega * omega % PRIME
             offset = offset * offset % PRIME
 
@@ -592,29 +582,32 @@ class Fri:
         return jax.device_put(codeword_mont, codeword_sharding(self.mesh))
 
     def _commit_one(self, standard):
+        """Pair-leaf commitment of one codeword (grammar v3): leaf i =
+        hash(c[i] || c[i + n/2]) — exactly the pair every query opens."""
         if self.mesh is not None:
             from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
 
-            return commit_sharded([standard], self.mesh)
+            return commit_sharded([standard], self.mesh, pair=True)
         from stark_anatomy_tpu.iop.merkle import commit_columns_fused
 
-        return commit_columns_fused([standard])
+        return commit_columns_fused([standard], pair=True)
 
     def _emit_query_points(self, entry, proof_stream):
         """One query round's colinearity point values from prefetched host
-        data (entry comes from the prove() gather wave). Openings travel
-        separately as per-tree multiproofs."""
+        data (entry comes from the prove() gather wave). Only (a, b) ship
+        (grammar v3): the fold result c is redundant — it is the next
+        round's own a/b (or a fri_last_codeword slot), and the verifier
+        reads it there. Openings travel separately as per-tree
+        multiproofs."""
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
 
         indices = entry["a_idx"]
         cur_cols = entry["cur_cols"]
-        nxt_cols = entry["nxt_cols"]
         points = []
         for s, _ in enumerate(indices):
             a = limbs_to_int(cur_cols[:, s])
             b = limbs_to_int(cur_cols[:, s + len(indices)])
-            c = limbs_to_int(nxt_cols[:, s])
-            points.append([felt_to_item(a), felt_to_item(b), felt_to_item(c)])
+            points.append([felt_to_item(a), felt_to_item(b)])
         proof_stream.push({"fri_points": points})
 
     # -- verifier ----------------------------------------------------------
@@ -650,13 +643,21 @@ class Fri:
         if len(last_codeword) != last_len:
             return False, []
 
-        # Last codeword must hash to the last commitment... The whole
-        # verifier is host-only by design (zero device dispatches: a STARK
-        # verifier must run anywhere, instantly), so both the re-commit and
-        # the low-degree check below use exact host arithmetic — the last
-        # codeword is small (<= max(2*expansion, 8*checks) values).
+        # Last codeword must hash to the last commitment (pair leaves,
+        # grammar v3). The whole verifier is host-only by design (zero
+        # device dispatches: a STARK verifier must run anywhere,
+        # instantly), so both the re-commit and the low-degree check below
+        # use exact host arithmetic — the last codeword is small
+        # (<= max(2*expansion, 8*checks) values).
+        lh = last_len // 2
         last_leaves = np.stack(
-            [np.frombuffer(hash_felts([v]), dtype="<u4") for v in last_codeword]
+            [
+                np.frombuffer(
+                    hash_felts([last_codeword[j], last_codeword[j + lh]]),
+                    dtype="<u4",
+                )
+                for j in range(lh)
+            ]
         )
         last_tree = MerkleTree.commit(last_leaves, device=False)
         if last_tree.root != roots[-1]:
@@ -692,52 +693,69 @@ class Fri:
         )
         top_points: List[Tuple[int, int]] = []
         indices = list(top_indices)
-        # Claimed codeword values per tree, merged across rounds: round r
-        # claims tree r at i and i+half (a, b) AND tree r+1 at i (c). A
-        # conflict between round r's c and round r+1's a/b at the same
-        # slot is a cheating transcript — reject before any hashing.
-        claimed: List[dict] = [dict() for _ in range(rounds)]
+        # Collect every round's (a, b) pairs FIRST: with pair leaves
+        # (grammar v3) the fold value c is never on the wire — for query s
+        # at round r it is round r+1's own opened a or b (i_r folds to
+        # i_{r+1} = i_r mod half_{r+1}; a if i_r < half_{r+1}, else b), or
+        # a direct fri_last_codeword slot on the final query round.
+        rounds_idx: List[List[int]] = []
+        rounds_pts: List[List[Tuple[int, int]]] = []
         for r in range(rounds - 1):
-            n = self.domain_length >> r
-            half = n // 2
+            half = (self.domain_length >> r) // 2
             indices = [i % half for i in indices]
-            omega_r = pow(self.omega, 1 << r, PRIME)
-            offset_r = pow(self.offset, 1 << r, PRIME)
-            alpha = alphas[r]
             points_items = proof_stream.pull()["fri_points"]
             if len(points_items) != len(indices):
                 return False, []
-            for s, i in enumerate(indices):
-                ay, by, cy = (item_to_felt(v) for v in points_items[s])
+            pts = []
+            for item in points_items:
+                if len(item) != 2:
+                    return False, []
+                pts.append((item_to_felt(item[0]), item_to_felt(item[1])))
+            rounds_idx.append(list(indices))
+            rounds_pts.append(pts)
+        # Colinearity checks + claimed-pair consistency. Two queries that
+        # land on the same pair leaf must claim the same (a, b) — a
+        # conflicting transcript is rejected before any hashing.
+        claimed: List[dict] = [dict() for _ in range(rounds - 1)]
+        for r in range(rounds - 1):
+            half = (self.domain_length >> r) // 2
+            omega_r = pow(self.omega, 1 << r, PRIME)
+            offset_r = pow(self.offset, 1 << r, PRIME)
+            alpha = alphas[r]
+            next_half = half // 2
+            for s, i in enumerate(rounds_idx[r]):
+                ay, by = rounds_pts[r][s]
+                if r + 1 < rounds - 1:
+                    a2, b2 = rounds_pts[r + 1][s]
+                    cy = a2 if i < next_half else b2
+                else:
+                    if not 0 <= i < len(last_codeword):
+                        return False, []
+                    cy = int(last_codeword[i])
                 ax = offset_r * pow(omega_r, i, PRIME) % PRIME
                 bx = offset_r * pow(omega_r, i + half, PRIME) % PRIME
                 if not colinearity_check([(ax, ay), (bx, by), (alpha, cy)]):
                     return False, []
-                for tree_idx, pos, val in (
-                    (r, i, ay),
-                    (r, i + half, by),
-                    (r + 1, i, cy),
-                ):
-                    prev = claimed[tree_idx].setdefault(pos, val)
-                    if prev != val:
-                        return False, []
+                prev = claimed[r].setdefault(i, (ay, by))
+                if prev != (ay, by):
+                    return False, []
                 if r == 0:
                     top_points.append((i, ay))
                     top_points.append((i + half, by))
-        # Last tree: the verifier rebuilt it from fri_last_codeword above,
-        # so claims there are settled by direct lookup — no paths on wire.
-        for pos, val in claimed[rounds - 1].items():
-            if not 0 <= pos < len(last_codeword) or int(last_codeword[pos]) != val:
-                return False, []
-        # Every other tree: ONE multiproof binding all claimed values.
+        # ONE multiproof per tree 0..rounds-2 binds every claimed pair
+        # leaf; the last tree was rebuilt from fri_last_codeword above, so
+        # the final round's c values are bound by that root directly.
         if rounds > 1:
             mp_items = proof_stream.pull()["fri_multiproofs"]
             if not isinstance(mp_items, list) or len(mp_items) != rounds - 1:
                 return False, []
             for t in range(rounds - 1):
-                height = (self.domain_length >> t).bit_length() - 1
+                # Pair tree over a length-(domain >> t) codeword: half the
+                # leaves, one level shorter.
+                height = (self.domain_length >> t).bit_length() - 2
                 leaf_map = {
-                    pos: hash_felts([val]) for pos, val in claimed[t].items()
+                    pos: hash_felts([ay, by])
+                    for pos, (ay, by) in claimed[t].items()
                 }
                 nodes = [item_to_digest(d) for d in mp_items[t]]
                 if not verify_multiproof(roots[t], leaf_map, nodes, height):

@@ -166,10 +166,12 @@ def gather_requests(requests) -> List[np.ndarray]:
     shaped (8, k) for "col" and (k, 16) otherwise, in request order."""
     if not requests:
         return []
+    from stark_anatomy_tpu.parallel.mesh import host_gather
+
     arrays = tuple(r[0] for r in requests)
     idxs = tuple(jnp.asarray(np.asarray(r[1], dtype=np.int32)) for r in requests)
     kinds = tuple(r[2] for r in requests)
-    host = np.asarray(_gather_flat_jit(arrays, idxs, kinds))
+    host = host_gather(_gather_flat_jit(arrays, idxs, kinds))
     out: List[np.ndarray] = []
     off = 0
     for arr, lanes, kind in requests:
@@ -181,7 +183,26 @@ def gather_requests(requests) -> List[np.ndarray]:
     return out
 
 
-def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = True):
+def pair_columns(columns: Sequence) -> List:
+    """Codeword columns -> the PAIR-LEAF column list (grammar v3).
+
+    Leaf j of a pair-leaf tree over length-n codewords packs rows j and
+    j + n/2: exactly the index pair every FRI query and every STARK
+    opening touches together (iop/fri.py, iop/stark.py), so committing
+    them as ONE leaf halves the tree height by one level and collapses
+    the two openings into one. Expressed as plain column splitting so the
+    whole commit machinery (leaf rule, plane kernels, sharding) is
+    unchanged: leaf j = hash_felts(row j of all columns ++ row j+n/2 of
+    all columns).
+    """
+    n = int(columns[0].shape[-1])
+    half = n // 2
+    return [c[:, :half] for c in columns] + [c[:, half:] for c in columns]
+
+
+def _commit_levels_traced(
+    columns: Sequence, msg_len: int, store_leaves: bool = True, pair: bool = False
+):
     """(all device levels as a tuple, first small level for the host tail).
 
     Trace-safe: leaf hashing + every device-side tree level in one traced
@@ -190,6 +211,10 @@ def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = 
     (XLA frees it after the first reduction) — at 2^24 leaves that level
     alone is 1 GB of HBM, and opens can recompute the handful of digests
     they need from the committed codeword columns instead.
+
+    pair=True commits pair leaves (pair_columns) with the split INSIDE
+    the trace, so XLA fuses the half-slices into the hash kernel instead
+    of materializing copies; msg_len must already count both rows.
 
     On TPU the leaf hashing and every large level run through the Pallas
     compressor (ops/blake2b_pallas.py) in plane-major layout: ~15x the
@@ -200,6 +225,8 @@ def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = 
     """
     from stark_anatomy_tpu.ops import blake2b_pallas as bp
 
+    if pair:
+        columns = pair_columns(columns)
     n = int(columns[0].shape[-1])
     plane_levels = []
     row_levels = []
@@ -256,16 +283,18 @@ def _commit_levels_traced(columns: Sequence, msg_len: int, store_leaves: bool = 
     return tuple(plane_levels), tuple(row_levels), cur
 
 
-@partial(jax.jit, static_argnames=("msg_len", "store_leaves"))
-def _commit_levels_jit(columns, msg_len: int, store_leaves: bool):
-    return _commit_levels_traced(columns, msg_len, store_leaves)
+@partial(jax.jit, static_argnames=("msg_len", "store_leaves", "pair"))
+def _commit_levels_jit(columns, msg_len: int, store_leaves: bool, pair: bool):
+    return _commit_levels_traced(columns, msg_len, store_leaves, pair)
 
 
 #: leaf counts >= this commit without storing the leaf-digest level.
 _DROP_LEAVES_MIN = 1 << 22
 
 
-def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) -> "MerkleTree":
+def commit_columns_fused(
+    columns: Sequence, store_leaves: bool | None = None, pair: bool = False
+) -> "MerkleTree":
     """Merkle-commit standard-form codeword columns in ONE device dispatch.
 
     Bit-identical tree to ``MerkleTree.commit(hash_felt_leaves(columns))``
@@ -275,13 +304,20 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
     syncs dominate commit latency. The small top finishes on host
     hashlib, as in MerkleTree.commit.
 
+    pair=True commits PAIR leaves (see pair_columns; grammar v3): leaf j
+    = hash of rows j and j + n/2 of every column — n/2 leaves, one level
+    shorter, and the (j, j+n/2) openings every consumer makes collapse
+    into one.
+
     Above _DROP_LEAVES_MIN leaves the leaf-digest level is not stored
     (opens recompute leaf digests from `columns`, which the prover keeps
     around anyway) — this halves tree HBM at production sizes, which is
     what lets a 2^24-domain prove run fully device-resident.
     """
-    msg_len = 16 * len(columns)
+    width = 2 * len(columns) if pair else len(columns)
+    msg_len = 16 * width
     n = int(columns[0].shape[-1])
+    n_leaves = n // 2 if pair else n
     from stark_anatomy_tpu.ops import blake2b_pallas as bp
     from stark_anatomy_tpu.ops.field_pallas import _on_tpu
 
@@ -289,7 +325,7 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
         import warnings
 
         warnings.warn(
-            f"commit of {len(columns)} columns ({msg_len}-byte leaves) "
+            f"commit of {width} columns ({msg_len}-byte leaves) "
             f"exceeds the Pallas hasher's {bp._MAX_MSG_LEN}-byte message "
             "cap — falling back to the ~10x slower jnp leaf hasher. "
             "Raise ops/blake2b_pallas._MAX_MSG_LEN (with a smaller row "
@@ -297,7 +333,7 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
             stacklevel=2,
         )
     if store_leaves is None:
-        store_leaves = n < _DROP_LEAVES_MIN
+        store_leaves = n_leaves < _DROP_LEAVES_MIN
     import os
 
     if n < int(os.environ.get("STARK_ANATOMY_FUSE_MIN", str(1 << 16))):
@@ -307,19 +343,23 @@ def commit_columns_fused(columns: Sequence, store_leaves: bool | None = None) ->
         # XLA graph for every FRI round (minutes of CPU compile in the
         # test/virtual-mesh environments for zero dispatch-latency benefit
         # at these sizes).
-        tree = MerkleTree.commit(hash_felt_leaves(columns))
+        leaf_cols = pair_columns(columns) if pair else columns
+        tree = MerkleTree.commit(hash_felt_leaves(leaf_cols))
+        tree.pair_leaves = pair
         if not store_leaves:
             cols = [jnp.asarray(c) for c in columns]
             tree.levels[0] = None
             tree.leaf_columns = cols
         return tree
     cols = [jnp.asarray(c) for c in columns]
-    plane_dev, row_dev, top = _commit_levels_jit(tuple(cols), msg_len, store_leaves)
-    return assemble_fused_tree(plane_dev, row_dev, top, cols, store_leaves)
+    plane_dev, row_dev, top = _commit_levels_jit(
+        tuple(cols), msg_len, store_leaves, pair
+    )
+    return assemble_fused_tree(plane_dev, row_dev, top, cols, store_leaves, pair)
 
 
 def assemble_fused_tree(
-    plane_dev, row_dev, top, cols, store_leaves: bool
+    plane_dev, row_dev, top, cols, store_leaves: bool, pair: bool = False
 ) -> "MerkleTree":
     """MerkleTree from _commit_levels_traced outputs: stitch the device
     plane/row levels, finish the tiny top on host hashlib, and set the
@@ -345,6 +385,7 @@ def assemble_fused_tree(
         leaf_columns=None if store_leaves else cols,
         plane_levels=plane_set,
         bitrev_planes=True,
+        pair_leaves=pair,
     )
 
 
@@ -386,6 +427,7 @@ class MerkleTree:
         leaf_columns: List | None = None,
         plane_levels: frozenset = frozenset(),
         bitrev_planes: bool = False,
+        pair_leaves: bool = False,
     ):
         """levels[0] may be None when leaf_columns is given: opens then
         recompute leaf digests from the codeword columns (host hashing of
@@ -403,11 +445,16 @@ class MerkleTree:
         BIT-REVERSED lane order (the fused commit pipeline's layout —
         _commit_levels_traced — which makes every tree reduction a free
         half/half split instead of a strided lane shuffle); logical node
-        i of an m-node plane level then lives at lane rev_log2(m)(i)."""
+        i of an m-node plane level then lives at lane rev_log2(m)(i).
+
+        pair_leaves: leaf_columns hold FULL-length codewords whose rows
+        j and j + n/2 were committed as ONE leaf (pair_columns); only
+        consulted when recomputing dropped leaf digests."""
         self.levels = levels
         self.leaf_columns = leaf_columns
         self.plane_levels = plane_levels
         self.bitrev_planes = bitrev_planes
+        self.pair_leaves = pair_leaves
         if levels[0] is None and leaf_columns is None:
             raise ValueError("dropped leaf level requires leaf_columns")
         self._fetch_cache: dict = {}
@@ -455,8 +502,11 @@ class MerkleTree:
                     ],
                     axis=0,
                 )
-        # Host tail: tiny levels, hashlib.
-        cur = np.asarray(current, dtype="<u4")
+        # Host tail: tiny levels, hashlib (host_gather: `current` may be a
+        # mesh-sharded array whose shards live on other processes).
+        from stark_anatomy_tpu.parallel.mesh import host_gather
+
+        cur = host_gather(current).astype("<u4", copy=False)
         while cur.shape[0] > 1:
             levels.append(cur)
             nxt = np.empty((cur.shape[0] // 2, 16), dtype="<u4")
@@ -491,20 +541,32 @@ class MerkleTree:
     def _leaf_digests(self, indices: List[int]) -> List[bytes]:
         """Recompute leaf digests from the codeword columns (dropped-leaf
         trees): one batched gather per column, then host hashing — the
-        same canonical-encoding leaf rule as hash_felt_leaves."""
+        same canonical-encoding leaf rule as hash_felt_leaves. Pair-leaf
+        trees gather both committed rows (j and j + n/2) per leaf."""
         from stark_anatomy_tpu.ops.limbs import limbs_to_int
 
+        gather_idx = list(indices)
+        if self.pair_leaves:
+            h = self.num_leaves
+            gather_idx = gather_idx + [i + h for i in indices]
         cols = []
         for col in self.leaf_columns:
             if isinstance(col, np.ndarray):
-                cols.append(col[:, indices])
+                cols.append(col[:, gather_idx])
             else:
-                cols.append(np.asarray(jnp.take(col, jnp.asarray(indices), axis=1)))
+                cols.append(
+                    np.asarray(jnp.take(col, jnp.asarray(gather_idx), axis=1))
+                )
         out = []
-        for pos in range(len(indices)):
+        k = len(indices)
+        for pos in range(k):
             msg = b"".join(
                 limbs_to_int(c[:, pos]).to_bytes(16, "little") for c in cols
             )
+            if self.pair_leaves:
+                msg += b"".join(
+                    limbs_to_int(c[:, pos + k]).to_bytes(16, "little") for c in cols
+                )
             out.append(hashlib.blake2b(msg, digest_size=64).digest())
         return out
 
@@ -516,15 +578,19 @@ class MerkleTree:
             if arr is None:
                 self._fetch_cache[key] = self._leaf_digests([index])[0]
             elif level in self.plane_levels:
+                from stark_anatomy_tpu.parallel.mesh import host_gather
+
                 lane = self._plane_lane(arr, index)
-                col = np.asarray(jnp.asarray(arr)[:, lane]).astype("<u4")
+                col = host_gather(jnp.asarray(arr)[:, lane]).astype("<u4")
                 self._fetch_cache[key] = col.tobytes()
             elif isinstance(arr, np.ndarray):
                 self._fetch_cache[key] = np.ascontiguousarray(
                     arr[index], dtype="<u4"
                 ).tobytes()
             else:
-                row = np.asarray(jnp.asarray(arr)[index]).astype("<u4")
+                from stark_anatomy_tpu.parallel.mesh import host_gather
+
+                row = host_gather(jnp.asarray(arr)[index]).astype("<u4")
                 self._fetch_cache[key] = row.tobytes()
         return self._fetch_cache[key]
 

@@ -147,6 +147,30 @@ def _words_to_limbs_jit(words: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(parts)
 
 
+@partial(jax.jit, static_argnames=("f",))
+def _trace_lde_col_jit(words, off_tab, early_i, late_i, early_f, late_f, f: int):
+    """(4, O) packed trace words -> (8, F) Montgomery LDE, ONE dispatch.
+
+    Fuses the whole per-column chain (word split -> to_mont -> iNTT ->
+    offset scale -> zero-pad -> coset NTT) through the eagerly-built
+    Pallas stage tables (ops/ntt_pallas.py stage_tables), replacing ~8
+    eager dispatches per column; on an async queue the next column's
+    device_put overlaps this column's transforms. Values are op-for-op
+    the eager column_lde_limbs path (exact field math, same kernels), so
+    proof bytes are unchanged.
+    """
+    from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+    limbs = _words_to_limbs_jit(words)
+    cm = fp.to_mont(limbs)
+    coeffs = ntp.ntt_with_tables(cm, early_i, late_i, True)
+    scaled = fp.mont_mul(coeffs, off_tab)
+    o = scaled.shape[-1]
+    if o < f:
+        scaled = jnp.concatenate([scaled, fj.zeros((f - o,))], axis=1)
+    return ntp.ntt_with_tables(scaled, early_f, late_f, False)
+
+
 @partial(jax.jit, static_argnames=("f", "n", "store_leaves"))
 def _zk_phase_jit(key_data, off_tab, early, late_tables, f: int, n: int,
                   store_leaves: bool):
@@ -172,7 +196,7 @@ def _zk_phase_jit(key_data, off_tab, early, late_tables, f: int, n: int,
         scaled = jnp.concatenate([scaled, fj.zeros((f - n,))], axis=1)
     cw = ntp.ntt_with_tables(scaled, early, late_tables, False)
     std = fp.from_mont(cw)
-    plane, rows, top = _commit_levels_traced((std,), 16, store_leaves)
+    plane, rows, top = _commit_levels_traced((std,), 32, store_leaves, pair=True)
     return std, plane, rows, top
 
 
@@ -229,7 +253,7 @@ def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
 def _boundary_phase_jit(
     t_lde,
     x_cw: jnp.ndarray,
-    xo_cw: jnp.ndarray,
+    dinv_tile: jnp.ndarray,
     excl_cw: jnp.ndarray,
     interp_mont: jnp.ndarray,
     root_monts: jnp.ndarray,
@@ -244,6 +268,11 @@ def _boundary_phase_jit(
     excl_cw: (8, F) Montgomery evals of the excluded-row product
     (Stark._excluded_codeword — one coset NTT, replacing the old
     2-passes-per-excluded-row pointwise scan).
+    dinv_tile: (8, F/O) Montgomery table of 1/(x^O - 1) over one period
+    (Stark._denom_inv_tile — x^O is F/O-periodic on the coset, so the
+    denominator inverse is a handful of host-exact values tiled instead
+    of a full codeword through the batch inversion; frees an (8, F)
+    table, its build, and an inversion slot — 2 GB of HBM at F = 2^26).
 
     Returns (bq_standard tuple, zt_inv). Values are bit-identical to the
     eager per-register path: field math is exact, so evaluation order and
@@ -275,39 +304,39 @@ def _boundary_phase_jit(
             z = fp.mont_mul(z, fp.sub(x_cw, root))
         zs.append(z)
 
-    # One batched inversion for all w boundary zerofiers plus the
-    # transition-zerofier denominator (x^O - 1).
-    denom = fp.sub(xo_cw, one)
-    items = zs + [denom]
-    prefix = [items[0]]
-    for it in items[1:]:
+    # One batched inversion for all w boundary zerofiers.
+    prefix = [zs[0]]
+    for it in zs[1:]:
         prefix.append(fp.mont_mul(prefix[-1], it))
     inv_run = fp.inv(prefix[-1])
-    invs = [None] * len(items)
-    for i in range(len(items) - 1, 0, -1):
+    invs = [None] * w
+    for i in range(w - 1, 0, -1):
         invs[i] = fp.mont_mul(inv_run, prefix[i - 1])
-        inv_run = fp.mont_mul(inv_run, items[i])
+        inv_run = fp.mont_mul(inv_run, zs[i])
     invs[0] = inv_run
 
     bq_std = tuple(
         fp.from_mont(fp.mont_mul(fp.sub(t_lde[j], b_cws[j]), invs[j]))
         for j in range(w)
     )
-    zt_inv = fp.mont_mul(excl_cw, invs[w])
+    zt_inv = _zt_inv_traced(excl_cw, dinv_tile)
     return bq_std, zt_inv
 
 
-@jax.jit
-def _zt_inv_jit(excl_cw: jnp.ndarray, xo_cw: jnp.ndarray) -> jnp.ndarray:
-    """excluded-row product * inv(x^O - 1) as one dispatch.
+def _zt_inv_traced(excl_cw: jnp.ndarray, dinv_tile: jnp.ndarray) -> jnp.ndarray:
+    """excluded-row product * tiled inv(x^O - 1) (trace-safe).
 
-    excl_cw comes from Stark._excluded_codeword (exact polynomial
-    identity — same field values as the old per-root pointwise product,
-    canonical representatives, so bytes are unchanged).
+    Same field values as inverting a full (x^O - 1) codeword on device
+    (inverses are unique, representatives canonical), so proof bytes are
+    unchanged; the periodic tile just stops materializing what is only
+    F/O distinct values.
     """
-    f = xo_cw.shape[-1]
-    denom_inv = fp.inv(fp.sub(xo_cw, _const_mont(1, f)))
-    return fp.mont_mul(excl_cw, denom_inv)
+    f = excl_cw.shape[-1]
+    p16 = dinv_tile.shape[-1]
+    return fp.mont_mul(excl_cw, jnp.tile(dinv_tile, (1, f // p16)))
+
+
+_zt_inv_jit = jax.jit(_zt_inv_traced)
 
 
 def _sync(arr) -> None:
@@ -317,8 +346,13 @@ def _sync(arr) -> None:
     buffers of SEVERAL phases can be in flight at once and their peaks
     stack — enough to exhaust HBM at F = 2^24 even though each phase fits
     comfortably. (block_until_ready is not reliable over the remote-device
-    relay; a tiny fetch is.)
+    relay; a tiny fetch is.) Multi-process runtimes block instead: slicing
+    a cross-process array yields shards this process cannot fetch, and
+    the remote-relay caveat does not apply there.
     """
+    if jax.process_count() > 1:
+        jax.block_until_ready(arr)
+        return
     np.asarray(arr[:1, :1])
 
 
@@ -687,18 +721,39 @@ class Stark:
                 self._cache["constants"] = [self.column_lde(c) for c in cols]
         return self._cache["constants"]
 
+    def _denom_inv_tile(self) -> jnp.ndarray:
+        """(8, F/O) Montgomery table of 1/(x^O - 1) over one period.
+
+        On the coset x_i = offset * omega^i, x_i^O = offset^O *
+        (omega^O)^i and omega^O has order F/O — so the transition
+        zerofier's denominator takes only F/O distinct values. Those are
+        inverted EXACTLY on host (Python ints) and tiled on device: no
+        (8, F) x^O table, no build dispatches, no inversion slot. Same
+        canonical values as the old device path, so bytes are unchanged.
+        """
+        o = self.omicron_domain_length
+        f = self.fri_domain_length
+        p16 = f // o
+        base = pow(self.offset, o, PRIME)
+        wo = pow(self.omega, o, PRIME)
+        vals, cur = [], base
+        for _ in range(p16):
+            vals.append(finv((cur - 1) % PRIME))
+            cur = cur * wo % PRIME
+        return jnp.asarray(ints_to_limbs([v * R_MOD_P % PRIME for v in vals]))
+
     def _transition_zerofier_inv(self) -> jnp.ndarray:
         """(8, F) Montgomery evals of 1/Z_transition on the FRI coset.
 
         Z_t vanishes on rows 0..T-2: Z_t = (x^O - 1) / prod_excluded, so
         1/Z_t = prod_{r=T-1}^{O-1}(x - omicron^r) * inv(x^O - 1), with
         the excluded-row product evaluated by one coset NTT
-        (_excluded_codeword).
+        (_excluded_codeword) and the periodic denominator inverse tiled
+        (_denom_inv_tile).
         """
         if "zt_inv" not in self._cache:
-            o = self.omicron_domain_length
             self._cache["zt_inv"] = _zt_inv_jit(
-                self._excluded_codeword(), self._x_pow_codeword(o)
+                self._excluded_codeword(), self._denom_inv_tile()
             )
         return self._cache["zt_inv"]
 
@@ -846,9 +901,9 @@ class Stark:
                     jnp.asarray(loaded["arrays"][f"bq{j}"])
                     for j in range(self.num_registers)
                 ]
-                bq_tree = self._commit_codewords(bq_standard)
+                bq_tree = self._commit_codewords(bq_standard, pair=True)
                 zk_standard = jnp.asarray(loaded["arrays"]["zk"])
-                zk_tree = self._commit_codewords([zk_standard])
+                zk_tree = self._commit_codewords([zk_standard], pair=True)
                 return self._fri_and_open(
                     ps, comb, bq_standard, bq_tree, zk_standard, zk_tree,
                     self.fri_domain_length, self.expansion_shift,
@@ -896,21 +951,25 @@ class Stark:
                 bps_shape = tuple(
                     (len(bp["interpolant"]), len(bp["roots"])) for bp in bps
                 )
+                with phase("prove.bq-tables"):
+                    x_cw = self._x_codeword()
+                    dinv_tile = self._denom_inv_tile()
+                    excl_cw = self._excluded_codeword()
+                    _sync(excl_cw)
                 bq_standard, zt_inv = _boundary_phase_jit(
                     tuple(t_lde),
-                    self._x_codeword(),
-                    self._x_pow_codeword(o),
-                    self._excluded_codeword(),
+                    x_cw,
+                    dinv_tile,
+                    excl_cw,
                     jnp.asarray(interp_m),
                     jnp.asarray(root_m),
                     bps_shape,
                 )
                 bq_standard = list(bq_standard)
-                # The x / x^O tables are dead after this phase on the fused
-                # path (_combine_fn builds its own power tables): free the
-                # HBM (1 GB at F = 2^24) before the commits.
+                # The x table is dead after this phase on the fused path
+                # (_combine_fn builds its own power tables): free the HBM
+                # (512 MB at F = 2^24) before the commits.
                 self._cache.pop("x_cw", None)
-                self._cache.pop(("xpow", o), None)
             else:
                 bq = []
                 for j in range(w):
@@ -924,7 +983,7 @@ class Stark:
 
         # 5. commit to the boundary quotients (one tree, leaf = w-tuple row).
         with phase("prove.bq-commit"):
-            bq_tree = self._commit_codewords(bq_standard)
+            bq_tree = self._commit_codewords(bq_standard, pair=True)
         ps.push({"bq_root": digest_to_item(bq_tree.root)})
 
         # 5b. zero-knowledge FRI randomizer: a uniformly random polynomial
@@ -942,7 +1001,7 @@ class Stark:
                 zk_standard, zk_tree = self._zk_commit_fused(randomizer_seed)
             else:
                 zk_standard = self._zk_codeword(randomizer_seed)
-                zk_tree = self._commit_codewords([zk_standard])
+                zk_tree = self._commit_codewords([zk_standard], pair=True)
         ps.push({"zk_root": digest_to_item(zk_tree.root)})
         import os as _os
 
@@ -956,15 +1015,21 @@ class Stark:
             zk_tree, zt_inv, o, f, e, w, checkpoint_dir, ckpt_meta,
         )
 
-    def _commit_codewords(self, columns) -> MerkleTree:
-        """Merkle-commit standard-form codeword columns (mesh-aware)."""
+    def _commit_codewords(self, columns, pair: bool = False) -> MerkleTree:
+        """Merkle-commit standard-form codeword columns (mesh-aware).
+
+        pair=True commits PAIR leaves (iop/merkle.py pair_columns,
+        grammar v3): every opening this prover makes comes in (i, i+F/2)
+        mirror pairs — the FRI query bases and their +expansion_shift row
+        neighbours are both mirror-closed sets — so pair leaves halve
+        every multiproof and drop one tree level for free."""
         if self.mesh is not None:
             from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
 
-            return commit_sharded(columns, self.mesh)
+            return commit_sharded(columns, self.mesh, pair=pair)
         from stark_anatomy_tpu.iop.merkle import commit_columns_fused
 
-        return commit_columns_fused(columns)
+        return commit_columns_fused(columns, pair=pair)
 
     def _zk_codeword(self, seed: bytes) -> jnp.ndarray:
         """(8, F) standard-form codeword of a seed-derived uniformly random
@@ -1022,11 +1087,11 @@ class Stark:
         key_data = jnp.asarray(np.frombuffer(digest[:8], dtype="<u4").copy())
         off_tab = nttmod.powers(self.offset, n)
         early, late = ntp.stage_tables(f, False)
-        store = f < _DROP_LEAVES_MIN
+        store = f // 2 < _DROP_LEAVES_MIN  # pair trees: F/2 leaves
         std, plane, rows, top = _zk_phase_jit(
             key_data, off_tab, early, late, f, n, store
         )
-        return std, assemble_fused_tree(plane, rows, top, [std], store)
+        return std, assemble_fused_tree(plane, rows, top, [std], store, pair=True)
 
     def _trace_lde(self, trace, as_bytes, o, w, _randomizer):
         t_len = trace.shape[0]
@@ -1050,6 +1115,26 @@ class Stark:
             for j in range(w):
                 words = np.ascontiguousarray(all_rows[:, j, :]).view("<u4").T
                 wds.append(jax.device_put(np.ascontiguousarray(words)))  # (4, O)
+            f = self.fri_domain_length
+            if (
+                self.mesh is None
+                and _fuse_enabled(f)
+                and fp._on_tpu()
+                and o >= 2048
+            ):
+                # One dispatch per column: the fused LDE through eager
+                # Pallas stage tables (bytes identical to the eager path).
+                from stark_anatomy_tpu.ops import ntt_pallas as ntp
+
+                early_i, late_i = ntp.stage_tables(o, True)
+                early_f, late_f = ntp.stage_tables(f, False)
+                off_tab = nttmod.powers(self.offset, o)
+                return [
+                    _trace_lde_col_jit(
+                        wd, off_tab, early_i, late_i, early_f, late_f, f
+                    )
+                    for wd in wds
+                ]
             return [self.column_lde_limbs(_words_to_limbs_jit(wd)) for wd in wds]
         rows = [[int(v) % PRIME for v in row] for row in trace]
         for r in range(t_len, o):
@@ -1294,8 +1379,15 @@ class Stark:
         else:
             slots["zk"] = len(requests)
             requests.append((zk_standard, zk_idx, "col"))
-        bq_reqs, bq_fill = bq_tree._prefetch_plan(need_list)
-        zk_reqs, zk_fill = zk_tree._prefetch_plan(zk_idx)
+        # Pair-leaf trees (grammar v3): row x lives in pair leaf x mod F/2,
+        # and both need_list and zk_idx are mirror-closed (x in the set
+        # iff (x + F/2) mod F is), so each opened leaf's full value tuple
+        # ships in the *_leaves items.
+        half = f // 2
+        bq_pairs = sorted({x % half for x in need_list})
+        zk_pairs = sorted({x % half for x in zk_idx})
+        bq_reqs, bq_fill = bq_tree._prefetch_plan(bq_pairs)
+        zk_reqs, zk_fill = zk_tree._prefetch_plan(zk_pairs)
         bq_base, zk_base = len(requests), len(requests) + len(bq_reqs)
         requests.extend(bq_reqs)
         requests.extend(zk_reqs)
@@ -1331,7 +1423,7 @@ class Stark:
         ps.push(
             {
                 "bq_multiproof": [
-                    digest_to_item(d) for d in bq_tree.open_multi(need_list)
+                    digest_to_item(d) for d in bq_tree.open_multi(bq_pairs)
                 ]
             }
         )
@@ -1350,7 +1442,7 @@ class Stark:
         ps.push(
             {
                 "zk_multiproof": [
-                    digest_to_item(d) for d in zk_tree.open_multi(zk_idx)
+                    digest_to_item(d) for d in zk_tree.open_multi(zk_pairs)
                 ]
             }
         )
@@ -1385,14 +1477,25 @@ class Stark:
         mp_item = ps.pull()["bq_multiproof"]
         bq_vals: Dict[int, List[int]] = {}
         for idx, vals in leaves_item:
+            if not 0 <= int(idx) < f:
+                return False
             bq_vals[int(idx)] = [item_to_felt(v) for v in vals]
-        height = f.bit_length() - 1
+        # Pair-leaf trees (grammar v3): leaf j packs rows j and j + F/2,
+        # so the tree is one level shorter and BOTH rows of each opened
+        # pair must be present — a transcript shipping only half a pair
+        # cannot reconstruct the leaf digest and is rejected (KeyError ->
+        # False via the verify() catch-all).
+        half = f // 2
+        height = f.bit_length() - 2
         # ONE multiproof binds every opened row to the committed root
         # (iop/merkle.py: node count/order pinned by the plan, index range
         # pinned by the height — the strictness the per-path pins gave).
         if not verify_multiproof(
             bq_root,
-            {idx: hash_felts(vals) for idx, vals in bq_vals.items()},
+            {
+                j: hash_felts(bq_vals[j] + bq_vals[j + half])
+                for j in {idx % half for idx in bq_vals}
+            },
             [item_to_digest(d) for d in mp_item],
             height,
         ):
@@ -1405,10 +1508,15 @@ class Stark:
         zk_mp_item = ps.pull()["zk_multiproof"]
         zk_vals: Dict[int, int] = {}
         for idx, val in zk_leaves_item:
+            if not 0 <= int(idx) < f:
+                return False
             zk_vals[int(idx)] = item_to_felt(val)
         if not verify_multiproof(
             zk_root,
-            {idx: hash_felts([val]) for idx, val in zk_vals.items()},
+            {
+                j: hash_felts([zk_vals[j], zk_vals[j + half]])
+                for j in {idx % half for idx in zk_vals}
+            },
             [item_to_digest(d) for d in zk_mp_item],
             height,
         ):

@@ -179,16 +179,19 @@ class RescuePrime:
     def chain_output(self, input_element: int, chain_length: int = 1) -> int:
         """First state element after chain_length permutations.
 
-        Long chains read the native trace's last row (the Python loop
-        costs ~200us per round at 128-bit exponents — minutes at 2^20
-        rows); short chains keep the pure-Python path, which also serves
+        Long chains run the native output-only chain (no trace-row
+        materialization — the Python loop costs ~200us per round at
+        128-bit exponents, minutes at 2^20 rows, and the previous
+        read-the-native-trace path allocated the full row buffer a second
+        time); short chains keep the pure-Python path, which also serves
         as the cross-check oracle in tests/test_native.py.
         """
         from stark_anatomy_tpu import native
 
         if native.AVAILABLE and self.m == 2 and chain_length > 64:
-            trace = native.rescue_chain_trace_bytes(self, input_element, chain_length)
-            return int.from_bytes(trace[-1, 0].tobytes(), "little")
+            out = native.rescue_chain_output(self, input_element, chain_length)
+            if out is not None:
+                return out[0]
         state = [input_element % PRIME] + [0] * (self.m - 1)
         for _ in range(chain_length):
             state = self.permutation(state)

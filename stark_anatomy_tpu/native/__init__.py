@@ -68,6 +68,11 @@ def _load() -> Optional[ctypes.CDLL]:
             "rescue_chain_trace",
             [u8p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, u8p, u8p, u8p, u8p],
         ),
+        ("fri_fold", [u8p, ctypes.c_uint64, u8p, u8p, u8p, u8p]),
+        (
+            "rescue_chain_output",
+            [u8p, ctypes.c_uint64, ctypes.c_uint64, u8p, u8p, u8p, u8p],
+        ),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = extra
@@ -148,6 +153,50 @@ def powers(base: int, count: int) -> List[int]:
     eb = _enc([base])
     out = np.empty((count, 16), dtype=np.uint8)
     lib.felt_powers(_ptr(eb), _ptr(out), count)
+    return _dec(out)
+
+
+def fri_fold_values(
+    values: List[int], alpha: int, offset_inv: int, omega_inv: int
+) -> List[int]:
+    """One FRI fold round on host values (iop/fri.py _host_tail):
+    out[i] = 2^-1 * ((1+a_i)*v[i] + (1-a_i)*v[i+n/2]),
+    a_i = alpha * offset_inv * omega_inv^i. Native C when available
+    (~10x the pure-Python big-int loop); identical mod-p values."""
+    n = len(values)
+    half = n // 2
+    lib = _load()
+    if lib is None:
+        inv2 = pow(2, PRIME - 2, PRIME)
+        out, d_inv = [], offset_inv % PRIME
+        for i in range(half):
+            au = alpha * d_inv % PRIME
+            out.append(
+                inv2 * ((1 + au) * values[i] + (1 - au) * values[i + half]) % PRIME
+            )
+            d_inv = d_inv * omega_inv % PRIME
+        return out
+    ev = _enc(values)
+    ea, eo, ew = _enc([alpha]), _enc([offset_inv]), _enc([omega_inv])
+    out = np.empty((half, 16), dtype=np.uint8)
+    lib.fri_fold(_ptr(ev), n, _ptr(ea), _ptr(eo), _ptr(ew), _ptr(out))
+    return _dec(out)
+
+
+def rescue_chain_output(rp, input_element: int, chain_length: int) -> List[int]:
+    """Final Rescue-Prime chain state (the public boundary value) without
+    materializing trace rows; falls back to the Python chain."""
+    lib = _load()
+    if lib is None or rp.m != 2:
+        return None
+    mds = _enc([rp.mds[i][j] for i in range(2) for j in range(2)])
+    consts = _enc(rp.round_constants)
+    ainv = _enc([rp.alpha_inv])
+    inp = _enc([input_element])
+    out = np.empty((2, 16), dtype=np.uint8)
+    lib.rescue_chain_output(
+        _ptr(inp), chain_length, rp.N, _ptr(mds), _ptr(consts), _ptr(ainv), _ptr(out)
+    )
     return _dec(out)
 
 

@@ -10,11 +10,14 @@ unchanged — `shard_map` collectives (the four-step NTT's all-to-alls, the
 sharded Merkle reduction) ride ICI across hosts exactly as they do across
 the chips of one host — and its host-side phases (the FRI host tail, the
 query-phase gathers, Merkle host tops) all-gather sharded values to a
-fully-addressable replicated form first (iop/fri.py:_gather_host) so no
-process ever np.asarray's an array it only partially holds. Multi-host
-runs are hardware-blocked in this environment: the host-gather path is
-exercised single-process (it is a no-op device_put there), the
-process_count() > 1 branch is not.
+fully-addressable replicated form first (parallel/mesh.py:host_gather) so
+no process ever np.asarray's an array it only partially holds. The
+multi-process path is executed for real by tests/test_multiprocess.py:
+two separate OS processes joined by a localhost coordinator (4 virtual
+CPU devices each) run the full `Stark.prove(mesh=...)` over the 8-device
+global mesh and produce proof bytes identical to the single-process
+prover. Real TPU pods differ only in transport (ICI/DCN instead of
+localhost gRPC), which JAX owns below this layer.
 
 Deployment recipe (one process per host):
 

@@ -107,14 +107,21 @@ def _local_levels(*columns, flags: Tuple[bool, ...], msg_len: int, interp: bool)
     return tuple(out)
 
 
-def commit_sharded(columns: Sequence, mesh) -> MerkleTree:
+def commit_sharded(columns: Sequence, mesh, pair: bool = False) -> MerkleTree:
     """Commit to rows of field-element columns over a mesh.
 
     columns: sequence of (8, n) standard-form limb codewords sharded (or
     shardable) over `mesh`. Returns a MerkleTree whose root/levels/open()
     match iop/merkle.py MerkleTree.commit(hash_felt_leaves(columns))
-    exactly.
+    exactly. pair=True commits pair leaves (iop/merkle.py pair_columns):
+    the halves are re-sharded over the full mesh (one resharding pass —
+    row j and its partner j + n/2 start on different shards) and the
+    local pipeline runs unchanged on the doubled column list.
     """
+    if pair:
+        from stark_anatomy_tpu.iop.merkle import pair_columns
+
+        columns = pair_columns(columns)
     n = int(columns[0].shape[-1])
     s = mesh.shape[SHARD_AXIS]
     per_shard = n // s
@@ -140,7 +147,11 @@ def commit_sharded(columns: Sequence, mesh) -> MerkleTree:
     )
     device_levels = jax.jit(lambda *cs: body(*cs))(*cols)
 
-    levels: List[np.ndarray] = [np.asarray(lv) for lv in device_levels]
+    from stark_anatomy_tpu.parallel.mesh import host_gather
+
+    # host_gather: on a multi-process runtime each level's shards live
+    # across processes; a plain np.asarray would raise (tests/test_multiprocess.py).
+    levels: List[np.ndarray] = [host_gather(lv) for lv in device_levels]
     plane_set = frozenset(i for i, f in enumerate(flags) if f)
     # The kernel body emits plane levels with each shard's lanes in
     # bit-reversed order (free half/half reductions on device); restore

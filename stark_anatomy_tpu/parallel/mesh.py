@@ -37,3 +37,34 @@ def codeword_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def host_gather(arr) -> np.ndarray:
+    """Device array -> host numpy, safe under a multi-process runtime.
+
+    On a multi-controller runtime (jax.distributed, one process per host)
+    a mesh-sharded array's shards live in OTHER processes; np.asarray on
+    it raises "spans non-addressable devices". Replicating through a
+    jitted identity first (XLA lowers the resharding to an all-gather
+    along the shard axis) makes the value fully addressable everywhere.
+    Single-process arrays (host numpy, local device, fully-addressable
+    sharded) pass straight through to np.asarray.
+    """
+    if isinstance(arr, np.ndarray):
+        return arr
+    if (
+        jax.process_count() > 1
+        and getattr(arr, "is_fully_addressable", True) is False
+    ):
+        sharding = getattr(arr, "sharding", None)
+        mesh = getattr(sharding, "mesh", None)
+        if mesh is not None and not isinstance(mesh, jax.sharding.AbstractMesh):
+            arr = jax.jit(
+                lambda x: x,
+                out_shardings=NamedSharding(mesh, PartitionSpec()),
+            )(arr)
+        else:  # pragma: no cover - non-NamedSharding global array
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)

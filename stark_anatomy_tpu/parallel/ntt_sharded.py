@@ -271,7 +271,12 @@ def _build(mesh, n: int, inverse: bool, lin: str, lout: str):
             out_specs=P(None, SHARD_AXIS),
         )
     jit_tables = {k: v for k, v in tables.items() if v is not None}
-    return jax.jit(lambda x: body(x, tw, jit_tables))
+    # tw spans the whole mesh: under a multi-process runtime a jit may not
+    # CLOSE OVER an array with non-addressable shards — global arrays must
+    # enter as arguments (the stage tables are process-local replicas, so
+    # capturing those is fine).
+    jitted = jax.jit(lambda x, tw_arg: body(x, tw_arg, jit_tables))
+    return lambda x: jitted(x, tw)
 
 
 def sharded_ntt(

@@ -9,8 +9,8 @@ part of the proof format and must never change:
   reduced) representative;
 - a Merkle leaf for a tuple of field elements = Blake2b-512 of the
   concatenated 16-byte encodings;
-- proof items carry field elements as decimal strings, digests as lowercase
-  hex strings (JSON-safe; see iop/proof_stream.py).
+- proof items carry field elements as decimal strings, digests as standard
+  base64 strings (JSON-safe; see iop/proof_stream.py).
 
 Intentional divergence from the reference's serde encodings: the reference
 serializes a [u8;64] MerkleHash as a JSON array of 64 integers via
@@ -28,7 +28,7 @@ tests/test_golden_proof.py.
 Grammar history:
 - v1 (rounds 1-3): per-leaf Merkle paths ({"fri_paths"}, {"bq_paths"},
   {"zk_paths"}), one sibling list per opened index.
-- v2 (round 4, CURRENT): deduplicated batch openings — one
+- v2 (round 4): deduplicated batch openings — one
   {"fri_multiproofs": [[hex64...] per tree]} item for all FRI trees
   (round r's next-tree openings fold into tree r+1's own set; the last
   tree ships nothing, its codeword is already in the transcript) and
@@ -37,10 +37,27 @@ Grammar history:
   the last codeword and query sampling when grinding_bits > 0. The
   golden file was regenerated (1.8x smaller at the golden size; ~2x at
   production sizes where path sharing is deeper).
+- v3 (round 5, CURRENT): PAIR-LEAF commitments (iop/merkle.py
+  pair_columns) on every prover tree — leaf j of a length-n codeword
+  tree is Blake2b-512 of rows j AND j + n/2 (all columns' row j
+  encodings, then all columns' row j+n/2), the index pair every FRI
+  colinearity query and every (i, i+F/2) STARK opening touches
+  together. Effects on the wire: every tree is one level shorter, each
+  multiproof covers half as many leaves, and {"fri_points"} carries
+  [a, b] PAIRS — the fold value c left the grammar entirely (it equals
+  the next round's opened a/b, or a fri_last_codeword slot; iop/fri.py
+  _verify derives it). Digest items also moved from 128-char hex to
+  88-char canonical base64 (digest_to_item) — digests dominate proof
+  bytes, and base64 is 1.375 bytes/byte vs hex's 2. The node-hash
+  contract is untouched: nodes stay Blake2b-512(left || right)
+  (merkle.rs:47-55), leaves stay Blake2b-512 of canonical 16-byte
+  encodings. Golden regenerated: ~2x smaller at the golden size; larger
+  gains at production sizes (deeper trees).
 """
 
 from __future__ import annotations
 
+import base64
 import hashlib
 from typing import Iterable, List, Sequence
 
@@ -149,15 +166,30 @@ def item_to_nonce(item: str) -> int:
 
 
 def digest_to_item(digest: bytes) -> str:
-    return digest.hex()
+    """64-byte digest -> 88-char standard base64 (with padding).
+
+    v3 encoding: digests dominate proof bytes (every multiproof node is
+    one), and base64 is 1.375 bytes/byte against hex's 2 — a ~30% cut on
+    the digest-heavy items for free. The alphabet (A-Za-z0-9+/=) needs no
+    JSON escaping, so serialized transcripts stay canonical compact JSON.
+    """
+    return base64.b64encode(digest).decode("ascii")
 
 
 def item_to_digest(item: str) -> bytes:
     if not isinstance(item, str):
         raise ValueError("digest item must be a string")
-    data = bytes.fromhex(item)
+    if len(item) != 88:
+        raise ValueError("expected an 88-char base64 digest item")
+    try:
+        data = base64.b64decode(item, validate=True)
+    except (ValueError, TypeError) as exc:
+        raise ValueError("invalid base64 digest item") from exc
     if len(data) != 64:
         raise ValueError("expected a 64-byte digest")
-    if item != data.hex():  # reject uppercase/mixed-case re-encodings
+    if base64.b64encode(data).decode("ascii") != item:
+        # Reject non-canonical re-encodings (e.g. trailing-bit variants):
+        # one digest, one transcript byte-encoding (Fiat-Shamir
+        # malleability, same rationale as item_to_felt).
         raise ValueError("non-canonical digest item")
     return data

@@ -47,6 +47,12 @@ if not _TPU_MODE:
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration tests (skipped by make test-fast)"
+    )
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():
     """XLA:CPU's in-process JIT segfaults sporadically in long sessions

@@ -29,7 +29,9 @@ INPUT = 20260817
 SEED = b"golden-v1"
 
 _DEC = re.compile(r"^(0|[1-9][0-9]*)$")
-_HEX128 = re.compile(r"^[0-9a-f]{128}$")
+#: 64-byte digest as canonical standard base64: 64 = 21*3 + 1 bytes ->
+#: 86 alphabet chars + "==" padding, 88 chars total.
+_B64_DIGEST = re.compile(r"^[A-Za-z0-9+/]{86}==$")
 
 
 @pytest.fixture(scope="module")
@@ -78,9 +80,10 @@ def test_grammar_item_kind_sequence(golden_bytes):
 
 
 def test_item_kind_encodings(golden_bytes):
-    # Every digest is 128 lowercase hex chars (Blake2b-512); every field
-    # element is a canonical decimal string < p; every opening is
-    # [index, ...] with in-range indices. One pass over the whole proof.
+    # Every digest is an 88-char canonical base64 string (Blake2b-512,
+    # grammar v3); every field element is a canonical decimal string < p;
+    # every opening is [index, ...] with in-range indices. One pass over
+    # the whole proof.
     items = json.loads(golden_bytes)
     f = 1024
 
@@ -89,7 +92,7 @@ def test_item_kind_encodings(golden_bytes):
         assert int(s) < PRIME
 
     def check_digest(s):
-        assert isinstance(s, str) and _HEX128.match(s), f"bad digest item {s!r}"
+        assert isinstance(s, str) and _B64_DIGEST.match(s), f"bad digest item {s!r}"
 
     for it in items:
         kind, val = next(iter(it.items()))
@@ -99,9 +102,11 @@ def test_item_kind_encodings(golden_bytes):
             for v in val:
                 check_felt(v)
         elif kind == "fri_points":
-            for triple in val:
-                assert len(triple) == 3
-                for v in triple:
+            # Grammar v3: (a, b) pairs only — the fold value c is the
+            # next round's own opened a/b (iop/fri.py), never on wire.
+            for pair in val:
+                assert len(pair) == 2
+                for v in pair:
                     check_felt(v)
         elif kind == "fri_multiproofs":
             assert len(val) == 6  # one batch opening per tree 0..rounds-2

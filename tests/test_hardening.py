@@ -25,12 +25,29 @@ def test_item_to_felt_rejects_noncanonical():
 
 
 def test_item_to_digest_rejects_noncanonical():
-    hexd = "ab" * 64
-    assert item_to_digest(hexd) == bytes.fromhex(hexd)
+    import base64
+
+    digest = bytes.fromhex("ab" * 64)
+    item = base64.b64encode(digest).decode()  # 88-char canonical base64 (v3)
+    assert item_to_digest(item) == digest
     with pytest.raises(ValueError):
-        item_to_digest("AB" * 64)  # uppercase alias of the same digest
+        item_to_digest(digest.hex())  # v2 hex encoding no longer accepted
     with pytest.raises(ValueError):
-        item_to_digest("ab" * 63)
+        item_to_digest(item[:-4])  # truncated
+    with pytest.raises(ValueError):
+        item_to_digest(item[:-1] + "!")  # non-alphabet char
+    # Trailing-bit alias: 64 bytes occupy 512 of the 516 bits of the 86
+    # encoded sextets, so the last sextet's low 4 bits are padding that a
+    # lenient decoder ignores — flipping one yields a DIFFERENT transcript
+    # byte-encoding of the SAME digest; must be rejected.
+    alphabet = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    )
+    v = alphabet.index(item[85])
+    aliased = item[:85] + alphabet[v ^ 1] + "=="
+    assert base64.b64decode(aliased) == digest  # lenient decoder collapses it
+    with pytest.raises(ValueError):
+        item_to_digest(aliased)
 
 
 def test_fri_degenerate_round_counts_rejected():
