@@ -147,28 +147,6 @@ def _words_to_limbs_jit(words: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(parts)
 
 
-@partial(jax.jit, static_argnames=("f",))
-def _trace_lde_col_jit(words, off_tab, early_i, late_i, early_f, late_f, f: int):
-    """(4, O) packed trace words -> (8, F) Montgomery LDE, ONE dispatch.
-
-    Fuses the whole per-column chain (word split -> to_mont -> iNTT ->
-    offset scale -> zero-pad -> coset NTT) through the eagerly-built
-    Pallas stage tables (ops/ntt_pallas.py stage_tables), replacing ~8
-    eager dispatches per column; on an async queue the next column's
-    device_put overlaps this column's transforms. Values are op-for-op
-    the eager column_lde_limbs path (exact field math, same kernels), so
-    proof bytes are unchanged.
-    """
-    from stark_anatomy_tpu.ops import ntt_pallas as ntp
-
-    limbs = _words_to_limbs_jit(words)
-    cm = fp.to_mont(limbs)
-    coeffs = ntp.ntt_with_tables(cm, early_i, late_i, True)
-    scaled = fp.mont_mul(coeffs, off_tab)
-    o = scaled.shape[-1]
-    if o < f:
-        scaled = jnp.concatenate([scaled, fj.zeros((f - o,))], axis=1)
-    return ntp.ntt_with_tables(scaled, early_f, late_f, False)
 
 
 @partial(jax.jit, static_argnames=("f", "n", "store_leaves"))
@@ -252,7 +230,8 @@ def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("bps_shape",))
 def _boundary_phase_jit(
     t_lde,
-    x_cw: jnp.ndarray,
+    omega_m: jnp.ndarray,
+    offset_m: jnp.ndarray,
     dinv_tile: jnp.ndarray,
     excl_cw: jnp.ndarray,
     interp_mont: jnp.ndarray,
@@ -262,6 +241,10 @@ def _boundary_phase_jit(
     """Whole boundary phase + transition-zerofier inverse, ONE dispatch.
 
     t_lde: tuple of w (8, F) Montgomery trace-LDE codewords.
+    omega_m/offset_m: (8,) Montgomery scalars — the x codeword (coset
+    evals of x) is built IN-TRACE from them (_powers_traced) so its
+    eager construction dispatches and its standing HBM disappear; XLA
+    frees it at the phase's end.
     interp_mont: (w, D, 8) Montgomery interpolant coeffs (zero-padded).
     root_monts: (w, R, 8) Montgomery zerofier roots (padding ignored).
     bps_shape: per-register (num_coeffs, num_roots) — static structure.
@@ -282,7 +265,11 @@ def _boundary_phase_jit(
     disjoint cosets) — batch inversion has no 0 -> 0 convention.
     """
     w = len(t_lde)
-    f = x_cw.shape[-1]
+    f = t_lde[0].shape[-1]
+    x_cw = fp.mont_mul(
+        _powers_traced(omega_m, f),
+        jnp.broadcast_to(offset_m.reshape(8, 1), (8, f)),
+    )
     one = _const_mont(1, f)
 
     # Interpolant + zerofier codewords per register.
@@ -926,6 +913,21 @@ class Stark:
                 + j.to_bytes(4, "big")
             )
 
+        # Queue the zk-randomizer device work FIRST: it depends only on
+        # the seed, so it rides the async queue under the trace upload and
+        # the host-side parts of the LDE/boundary phases instead of
+        # costing its own serial slot (gated to F <= 2^25 so the extra
+        # in-flight codeword+tree cannot squeeze HBM at the largest runs).
+        zk_pending = None
+        if (
+            self.mesh is None
+            and _fuse_enabled(f)
+            and fp._on_tpu()
+            and f <= (1 << 25)
+        ):
+            with phase("prove.zk-dispatch"):
+                zk_pending = self._zk_dispatch_fused(randomizer_seed)
+
         # 2-3. interpolate columns and LDE to the FRI coset.
         with phase("prove.trace-lde"):
             t_lde = self._trace_lde(trace, as_bytes, o, w, _randomizer)
@@ -952,13 +954,18 @@ class Stark:
                     (len(bp["interpolant"]), len(bp["roots"])) for bp in bps
                 )
                 with phase("prove.bq-tables"):
-                    x_cw = self._x_codeword()
                     dinv_tile = self._denom_inv_tile()
                     excl_cw = self._excluded_codeword()
-                    _sync(excl_cw)
                 bq_standard, zt_inv = _boundary_phase_jit(
                     tuple(t_lde),
-                    x_cw,
+                    jnp.asarray(
+                        int_to_limbs(self.omega * R_MOD_P % PRIME),
+                        dtype=jnp.uint32,
+                    ),
+                    jnp.asarray(
+                        int_to_limbs(self.offset * R_MOD_P % PRIME),
+                        dtype=jnp.uint32,
+                    ),
                     dinv_tile,
                     excl_cw,
                     jnp.asarray(interp_m),
@@ -966,10 +973,6 @@ class Stark:
                     bps_shape,
                 )
                 bq_standard = list(bq_standard)
-                # The x table is dead after this phase on the fused path
-                # (_combine_fn builds its own power tables): free the HBM
-                # (512 MB at F = 2^24) before the commits.
-                self._cache.pop("x_cw", None)
             else:
                 bq = []
                 for j in range(w):
@@ -997,7 +1000,9 @@ class Stark:
         # of the tutorial protocol; Merkle leaf salting is not needed on
         # top because every opened leaf value is already blinded.
         with phase("prove.zk-randomizer"):
-            if self.mesh is None and _fuse_enabled(f) and fp._on_tpu():
+            if zk_pending is not None:
+                zk_standard, zk_tree = self._zk_assemble_fused(zk_pending)
+            elif self.mesh is None and _fuse_enabled(f) and fp._on_tpu():
                 zk_standard, zk_tree = self._zk_commit_fused(randomizer_seed)
             else:
                 zk_standard = self._zk_codeword(randomizer_seed)
@@ -1068,17 +1073,17 @@ class Stark:
         cw = nttmod.coset_evaluate(fj.to_mont(coeffs), f, self.offset)
         return self._shard(fp.from_mont(cw))
 
-    def _zk_commit_fused(self, seed: bytes):
-        """TPU fast path for the zk phase: codeword + tree from ONE
-        dispatch (_zk_phase_jit). Bit-identical to _zk_codeword +
+    def _zk_dispatch_fused(self, seed: bytes):
+        """Dispatch the one-shot zk phase (codeword + every tree level)
+        WITHOUT waiting: the zk randomizer depends only on the seed, so
+        its device work is queued before the trace upload and rides under
+        the trace-LDE/boundary phases; _zk_assemble_fused later syncs on
+        the (tiny) tree top. Values are bit-identical to _zk_codeword +
         _commit_codewords (pinned on device by tests/test_tpu_smoke.py).
         """
         import hashlib
 
-        from stark_anatomy_tpu.iop.merkle import (
-            _DROP_LEAVES_MIN,
-            assemble_fused_tree,
-        )
+        from stark_anatomy_tpu.iop.merkle import _DROP_LEAVES_MIN
         from stark_anatomy_tpu.ops import ntt_pallas as ntp
 
         f = self.fri_domain_length
@@ -1091,7 +1096,19 @@ class Stark:
         std, plane, rows, top = _zk_phase_jit(
             key_data, off_tab, early, late, f, n, store
         )
+        return std, plane, rows, top, store
+
+    def _zk_assemble_fused(self, dispatched):
+        """Finish the zk tree from a _zk_dispatch_fused result (syncs)."""
+        from stark_anatomy_tpu.iop.merkle import assemble_fused_tree
+
+        std, plane, rows, top, store = dispatched
         return std, assemble_fused_tree(plane, rows, top, [std], store, pair=True)
+
+    def _zk_commit_fused(self, seed: bytes):
+        """TPU fast path for the zk phase: codeword + tree from ONE
+        dispatch (_zk_phase_jit)."""
+        return self._zk_assemble_fused(self._zk_dispatch_fused(seed))
 
     def _trace_lde(self, trace, as_bytes, o, w, _randomizer):
         t_len = trace.shape[0]
@@ -1115,26 +1132,13 @@ class Stark:
             for j in range(w):
                 words = np.ascontiguousarray(all_rows[:, j, :]).view("<u4").T
                 wds.append(jax.device_put(np.ascontiguousarray(words)))  # (4, O)
-            f = self.fri_domain_length
-            if (
-                self.mesh is None
-                and _fuse_enabled(f)
-                and fp._on_tpu()
-                and o >= 2048
-            ):
-                # One dispatch per column: the fused LDE through eager
-                # Pallas stage tables (bytes identical to the eager path).
-                from stark_anatomy_tpu.ops import ntt_pallas as ntp
-
-                early_i, late_i = ntp.stage_tables(o, True)
-                early_f, late_f = ntp.stage_tables(f, False)
-                off_tab = nttmod.powers(self.offset, o)
-                return [
-                    _trace_lde_col_jit(
-                        wd, off_tab, early_i, late_i, early_f, late_f, f
-                    )
-                    for wd in wds
-                ]
+            # NOTE: a fully-fused one-dispatch-per-column LDE through
+            # ntt_with_tables was tried and REVERTED: on real TPU it ran
+            # 17x slower than this eager chain (19.7s vs 1.2s at F=2^24)
+            # — the mesh-tuned table kernels lose the single-device
+            # transform's layout pipelining at full size. The eager chain
+            # already overlaps column uploads with transforms (async
+            # dispatch), which is what matters over the device link.
             return [self.column_lde_limbs(_words_to_limbs_jit(wd)) for wd in wds]
         rows = [[int(v) % PRIME for v in row] for row in trace]
         for r in range(t_len, o):
