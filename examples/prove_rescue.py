@@ -62,7 +62,9 @@ def main() -> int:
 
     t0 = time.time()
     trace = rp.trace_bytes(args.input, chain_length=args.chain)
-    output = rp.chain_output(args.input, args.chain)
+    # The public output is the trace's last row — re-running the chain
+    # (rp.chain_output) would double the sequential generation cost.
+    output = int.from_bytes(trace[-1, 0].tobytes(), "little")
     boundary = air.boundary_constraints(output)
     print(f"trace generated in {time.time() - t0:.2f}s; output = {output}")
 

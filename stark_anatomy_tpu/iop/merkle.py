@@ -389,6 +389,109 @@ def assemble_fused_tree(
     )
 
 
+def _host_reduce(cur: np.ndarray, sink) -> np.ndarray:
+    """hashlib-reduce (m, 16) rows to the single top row, handing every
+    intermediate level (including `cur`) to `sink`."""
+    while cur.shape[0] > 1:
+        sink(cur)
+        nxt = np.empty((cur.shape[0] // 2, 16), dtype="<u4")
+        for i in range(nxt.shape[0]):
+            d = hashlib.blake2b(
+                cur[2 * i].tobytes() + cur[2 * i + 1].tobytes(), digest_size=64
+            ).digest()
+            nxt[i] = np.frombuffer(d, dtype="<u4")
+        cur = nxt
+    return cur
+
+
+class ChunkedPairCommit:
+    """Streaming PAIR-leaf commit with host-resident levels.
+
+    The big-domain prover (iop/stark.py _prove_big) commits 4 GB of
+    boundary-quotient columns while most of a 16 GB chip is standing
+    prover state; the one-graph fused commit's working set (message word
+    planes + every digest level as outputs) cannot fit there. Feed
+    aligned power-of-two chunks of PRE-SPLIT pair columns (all columns'
+    lo rows then all columns' hi rows, the pair_columns order) via
+    add(); each chunk is hashed and reduced to its subtree root on
+    device and its levels materialize to HOST immediately. finish()
+    assembles the MerkleTree (top levels on host hashlib). Digests are
+    identical to commit_columns_fused(..., pair=True): chunk-local
+    reductions of aligned chunks ARE the global tree's sub-blocks
+    (pinned by tests/test_merkle.py).
+    """
+
+    def __init__(self, chunk_leaves: int, msg_len: int):
+        if chunk_leaves < 2048 or chunk_leaves & (chunk_leaves - 1):
+            raise ValueError("chunk_leaves must be a power of two >= 2048")
+        self.chunk_leaves = chunk_leaves
+        self.msg_len = msg_len
+        chunk_levels = chunk_leaves.bit_length() - 1
+        # Stored chunk arrays are global levels 1..chunk_levels-1 (leaf
+        # digests dropped; the chunk root is the chunk_levels-level node).
+        self._per_level: List[List[np.ndarray]] = [
+            [] for _ in range(chunk_levels - 1)
+        ]
+        self._chunk_roots: List[np.ndarray] = []
+
+    def add(self, pair_cols_chunk: Sequence) -> None:
+        from stark_anatomy_tpu.ops.ntt import bit_reverse_indices
+        from stark_anatomy_tpu.parallel.mesh import host_gather
+
+        plane, rows, top = _commit_levels_jit(
+            tuple(pair_cols_chunk), self.msg_len, False, False
+        )
+        lv = 1
+        for p in plane:
+            arr = host_gather(p).astype("<u4")
+            arr = arr[:, bit_reverse_indices(arr.shape[1])].T
+            self._per_level[lv - 1].append(np.ascontiguousarray(arr))
+            lv += 1
+        for r in rows:
+            self._per_level[lv - 1].append(host_gather(r).astype("<u4"))
+            lv += 1
+        state = {"lv": lv}
+
+        def sink(level_arr):
+            self._per_level[state["lv"] - 1].append(level_arr)
+            state["lv"] += 1
+
+        self._chunk_roots.append(_host_reduce(host_gather(top).astype("<u4"), sink))
+
+    def finish(self, leaf_columns: List) -> "MerkleTree":
+        levels: List = [None]
+        for lvl in self._per_level:
+            levels.append(np.concatenate(lvl, axis=0))
+        cur = np.concatenate(self._chunk_roots, axis=0)
+        cur = _host_reduce(cur, lambda arr: levels.append(arr))
+        levels.append(cur)
+        return MerkleTree(levels, leaf_columns=leaf_columns, pair_leaves=True)
+
+
+def commit_columns_chunked(
+    columns: Sequence, chunk_leaves: int = 1 << 22
+) -> "MerkleTree":
+    """PAIR-leaf commit of full codeword columns via ChunkedPairCommit."""
+    n = int(columns[0].shape[-1])
+    half = n // 2
+    n_chunks = max(1, half // max(chunk_leaves, 1))
+    chunk_leaves = half // n_chunks
+    if chunk_leaves < 2048:
+        # Tiny trees: no chunking to exploit (and the dropped-leaf-level
+        # bookkeeping assumes the device reduced at least once).
+        return commit_columns_fused(columns, pair=True)
+    cols = [jnp.asarray(c) for c in columns]
+    builder = ChunkedPairCommit(chunk_leaves, 32 * len(columns))
+    for k in range(n_chunks):
+        lo = [c[:, k * chunk_leaves : (k + 1) * chunk_leaves] for c in cols]
+        hi = [
+            c[:, half + k * chunk_leaves : half + (k + 1) * chunk_leaves]
+            for c in cols
+        ]
+        builder.add(lo + hi)
+    return builder.finish(cols)
+
+
 def hash_felt_leaves(columns: Sequence) -> jnp.ndarray:
     """Leaf digests for rows of field elements: (n, 16) uint32.
 

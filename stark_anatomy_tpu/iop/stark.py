@@ -86,6 +86,48 @@ _RANDOMIZER_TAG = b"stark_anatomy_tpu/trace-randomizer/v1"
 _ZK_TAG = b"stark_anatomy_tpu/zk-fri-randomizer/v1"
 
 
+#: At and above this FRI domain size the prover switches to the CHUNKED
+#: big-domain path (Stark._prove_big): the fused mega-jit phases need
+#: ~18 GB of simultaneous HBM at F = 2^26 on a 16 GB chip (t_lde + x/excl
+#: tables + quotient outputs all live inside one XLA program), and their
+#: single graphs took >25 minutes of remote XLA compile. The big path
+#: streams every pointwise phase through fixed-shape chunks with an
+#: explicit memory ledger and reorders the (computation of the) zk phase
+#: to when HBM is empty; transcript order and all values are unchanged.
+_BIG_F_MIN = 1 << 26
+#: chunk length of the big path: 16 chunks at F = 2^26, each (8, 2^22)
+#: limb chunk = 128 MB — a full chunk iteration's ~20 transient arrays
+#: stay under ~2.5 GB. Chunk boundaries cannot change any value — every
+#: chunked op is pointwise over the domain.
+_BIG_CHUNK = 1 << 22
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _place_chunk(buf: jnp.ndarray, part: jnp.ndarray, start) -> jnp.ndarray:
+    """Write a domain chunk into a donated full-length buffer in place
+    (the big path's assembly — concatenation would transiently double
+    multi-GB outputs)."""
+    return jax.lax.dynamic_update_slice(
+        buf, part, (jnp.int32(0), jnp.asarray(start, dtype=jnp.int32))
+    )
+
+
+@jax.jit
+def _horner_chunk_jit(coeffs_m: jnp.ndarray, xc: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate a (k, 8) Montgomery coefficient list (low-order first) at
+    an (8, blk) chunk of x values — ONE scanned graph instead of ~2k
+    eager dispatches. Used by the big path for the ~100-coefficient
+    excluded-row factor; exact Horner, canonical representatives."""
+
+    def step(acc, c):
+        term = jnp.broadcast_to(c.reshape(8, 1), xc.shape)
+        return fp.add(fp.mont_mul(acc, xc), term), None
+
+    top = jnp.broadcast_to(coeffs_m[-1].reshape(8, 1), xc.shape)
+    acc, _ = jax.lax.scan(step, top, coeffs_m[:-1][::-1])
+    return acc
+
+
 def _fuse_enabled(f: int) -> bool:
     """Whether the prover uses the fused phase mega-jits at FRI domain F.
 
@@ -230,8 +272,7 @@ def _powers_traced(base_m: jnp.ndarray, count: int) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("bps_shape",))
 def _boundary_phase_jit(
     t_lde,
-    omega_m: jnp.ndarray,
-    offset_m: jnp.ndarray,
+    x_cw: jnp.ndarray,
     dinv_tile: jnp.ndarray,
     excl_cw: jnp.ndarray,
     interp_mont: jnp.ndarray,
@@ -241,10 +282,13 @@ def _boundary_phase_jit(
     """Whole boundary phase + transition-zerofier inverse, ONE dispatch.
 
     t_lde: tuple of w (8, F) Montgomery trace-LDE codewords.
-    omega_m/offset_m: (8,) Montgomery scalars — the x codeword (coset
-    evals of x) is built IN-TRACE from them (_powers_traced) so its
-    eager construction dispatches and its standing HBM disappear; XLA
-    frees it at the phase's end.
+    x_cw: (8, F) Montgomery coset evals of x, built EAGERLY and (for
+    F <= 2^25) kept alive across proves (Stark._x_codeword_shared).
+    Building it in-trace via _powers_traced was tried and reverted: the
+    26-deep unrolled doubling chain inside this already-large graph blew
+    the remote XLA compile past 25 minutes at F = 2^26, while the
+    standalone eager powers graph compiles in ~8s and its warm rebuild
+    cost is hidden by the persistent cache.
     interp_mont: (w, D, 8) Montgomery interpolant coeffs (zero-padded).
     root_monts: (w, R, 8) Montgomery zerofier roots (padding ignored).
     bps_shape: per-register (num_coeffs, num_roots) — static structure.
@@ -266,10 +310,6 @@ def _boundary_phase_jit(
     """
     w = len(t_lde)
     f = t_lde[0].shape[-1]
-    x_cw = fp.mont_mul(
-        _powers_traced(omega_m, f),
-        jnp.broadcast_to(offset_m.reshape(8, 1), (8, f)),
-    )
     one = _const_mont(1, f)
 
     # Interpolant + zerofier codewords per register.
@@ -316,11 +356,22 @@ def _zt_inv_traced(excl_cw: jnp.ndarray, dinv_tile: jnp.ndarray) -> jnp.ndarray:
     Same field values as inverting a full (x^O - 1) codeword on device
     (inverses are unique, representatives canonical), so proof bytes are
     unchanged; the periodic tile just stops materializing what is only
-    F/O distinct values.
+    F/O distinct values. The tiling is a fused block-broadcast — an
+    explicit jnp.tile lowered to a 16 GB padded-layout materialization
+    at F = 2^26 (OOM on a 16 GB chip); broadcasting the (8, 1, F/O)
+    table against (8, O, F/O) blocks fuses into the multiply instead
+    (field_jnp handles batched shapes; values are identical).
     """
     f = excl_cw.shape[-1]
-    p16 = dinv_tile.shape[-1]
-    return fp.mont_mul(excl_cw, jnp.tile(dinv_tile, (1, f // p16)))
+    # Periodic extension by doubling CONCATENATION, all shapes 2-D
+    # natural-layout: every broadcast/tile formulation tried here
+    # materialized a (.., F/O, O) intermediate whose minor-16 axis pads
+    # to 128 lanes — an 8x HBM blow-up that OOMed F = 2^26 on a 16 GB
+    # chip. log2(F/O) copies cost one extra pass and nothing in layout.
+    tiled = dinv_tile
+    while tiled.shape[-1] < f:
+        tiled = jnp.concatenate([tiled, tiled], axis=1)
+    return fp.mont_mul(excl_cw, tiled)
 
 
 _zt_inv_jit = jax.jit(_zt_inv_traced)
@@ -374,7 +425,16 @@ PROFILES = {
         expansion_factor=4, num_colinearity_checks=32, grinding_bits=16,
         _bits=(80, 48),
     ),
-    # >= 128-bit conjectured target: 56*2 + 16 = 128.
+    # 128-bit QUERY soundness: 56*2 + 16 = 128. Honesty note: at
+    # production domain sizes the OVERALL conjectured level reported by
+    # security_level() is capped at ~99-100 bits by the fold_sampling
+    # union term log2(p / (F * rounds)) — inherent to challenges drawn
+    # from this 128-bit base field (docs/SOUNDNESS.md §3), not to the
+    # query count. The standard remedy (what 64-bit-field systems like
+    # winterfell/Plonky2 do) is sampling fold/combination challenges
+    # from a field EXTENSION; with p ~ 2^128 the cap only matters for
+    # targets above ~99 bits, so this framework documents it rather than
+    # paying a quadratic-extension arithmetic tax on every fold.
     "production-128": dict(
         expansion_factor=4, num_colinearity_checks=56, grinding_bits=16,
         _bits=(128, 72),
@@ -598,6 +658,23 @@ class Stark:
             )
         return self._cache["x_cw"]
 
+    def _x_codeword_shared(self) -> jnp.ndarray:
+        """x codeword with cross-prove persistence for F <= 2^25.
+
+        The 512 MB (at F = 2^24) table is identical across proves of one
+        Stark instance; keeping it in _fns (which survives the per-prove
+        cache clear) removes its ~0.15s eager rebuild from every warm
+        prove. Above 2^25 the 2+ GB table would squeeze FRI's HBM, so it
+        falls back to the per-prove cache (freed right after the
+        boundary phase).
+        """
+        if self.fri_domain_length > (1 << 25):
+            return self._x_codeword()
+        if "x_cw_persistent" not in self._fns:
+            self._fns["x_cw_persistent"] = self._x_codeword()
+            self._cache.pop("x_cw", None)
+        return self._fns["x_cw_persistent"]
+
     def _x_pow_codeword(self, s: int) -> jnp.ndarray:
         """(8, F) Montgomery evals of x^s on the FRI coset."""
         key = ("xpow", s)
@@ -744,18 +821,10 @@ class Stark:
             )
         return self._cache["zt_inv"]
 
-    def _excluded_codeword(self) -> jnp.ndarray:
-        """(8, F) Montgomery evals of prod_{r=T-1}^{O-1}(x - omicron^r)
-        on the FRI coset — the transition zerofier's excluded-row factor.
-
-        The degree-(num excluded rows) polynomial's coefficients are
-        computed exactly on host (O(k^2) int ops, sub-millisecond at the
-        ~100-row production sizes) and evaluated with ONE coset NTT. The
-        previous formulation multiplied the k linear factors pointwise —
-        2 full-codeword passes PER EXCLUDED ROW, ~1.1s of the boundary
-        phase at F = 2^24. Same field values (exact polynomial identity,
-        canonical representatives), so proof bytes are unchanged.
-        """
+    def _excluded_coeffs(self) -> List[int]:
+        """Host-exact coefficients of prod_{r=T-1}^{O-1}(x - omicron^r) —
+        the transition zerofier's excluded-row factor (O(k^2) int ops,
+        sub-millisecond at the ~100-row production sizes)."""
         o = self.omicron_domain_length
         coeffs = [1]
         for r in range(self.trace_length - 1, o):
@@ -765,7 +834,17 @@ class Stark:
                 nxt[i] = (nxt[i] - c * root) % PRIME
                 nxt[i + 1] = (nxt[i + 1] + c) % PRIME
             coeffs = nxt
-        cm = ints_to_limbs([c * R_MOD_P % PRIME for c in coeffs])
+        return coeffs
+
+    def _excluded_codeword(self) -> jnp.ndarray:
+        """(8, F) Montgomery evals of the excluded-row factor on the FRI
+        coset, via ONE coset NTT of _excluded_coeffs. The previous
+        formulation multiplied the k linear factors pointwise — 2
+        full-codeword passes PER EXCLUDED ROW, ~1.1s of the boundary
+        phase at F = 2^24. Same field values (exact polynomial identity,
+        canonical representatives), so proof bytes are unchanged.
+        """
+        cm = ints_to_limbs([c * R_MOD_P % PRIME for c in self._excluded_coeffs()])
         return nttmod.coset_evaluate(
             jnp.asarray(cm), self.fri_domain_length, self.offset
         )
@@ -913,6 +992,12 @@ class Stark:
                 + j.to_bytes(4, "big")
             )
 
+        if f >= _BIG_F_MIN and self.mesh is None:
+            return self._prove_big(
+                ps, trace, as_bytes, boundary, o, f, e, w, _randomizer,
+                randomizer_seed, checkpoint_dir, ckpt_meta,
+            )
+
         # Queue the zk-randomizer device work FIRST: it depends only on
         # the seed, so it rides the async queue under the trace upload and
         # the host-side parts of the LDE/boundary phases instead of
@@ -954,18 +1039,12 @@ class Stark:
                     (len(bp["interpolant"]), len(bp["roots"])) for bp in bps
                 )
                 with phase("prove.bq-tables"):
+                    x_cw = self._x_codeword_shared()
                     dinv_tile = self._denom_inv_tile()
                     excl_cw = self._excluded_codeword()
                 bq_standard, zt_inv = _boundary_phase_jit(
                     tuple(t_lde),
-                    jnp.asarray(
-                        int_to_limbs(self.omega * R_MOD_P % PRIME),
-                        dtype=jnp.uint32,
-                    ),
-                    jnp.asarray(
-                        int_to_limbs(self.offset * R_MOD_P % PRIME),
-                        dtype=jnp.uint32,
-                    ),
+                    x_cw,
                     dinv_tile,
                     excl_cw,
                     jnp.asarray(interp_m),
@@ -973,6 +1052,8 @@ class Stark:
                     bps_shape,
                 )
                 bq_standard = list(bq_standard)
+                del x_cw
+                self._cache.pop("x_cw", None)  # per-prove copy (F > 2^25)
             else:
                 bq = []
                 for j in range(w):
@@ -1020,6 +1101,287 @@ class Stark:
             zk_tree, zt_inv, o, f, e, w, checkpoint_dir, ckpt_meta,
         )
 
+    def _big_chunk_len(self) -> int:
+        """Chunk length of the big path: _BIG_CHUNK capped at F, grown to
+        the periodic-constant tile when an AIR's tile is longer (both are
+        powers of two dividing F, so chunks always align)."""
+        f = self.fri_domain_length
+        blk = min(_BIG_CHUNK, f)
+        if hasattr(self.air, "periodic_columns"):
+            period, _ = self._periodic_coeffs()
+            small = period * f // self.omicron_domain_length
+            blk = max(blk, small)
+        return min(blk, f)
+
+    def _rolled_slice(self, t, start: int, blk: int):
+        """t[:, start : start+blk] with wraparound (the chunked analogue
+        of jnp.roll(t, -e)[:, c*blk : (c+1)*blk])."""
+        f = int(t.shape[-1])
+        start %= f
+        end = start + blk
+        if end <= f:
+            return t[:, start:end]
+        return jnp.concatenate([t[:, start:], t[:, : end - f]], axis=1)
+
+    def _constant_chunks(self, blk: int):
+        """(8, blk) Montgomery constant-column tiles for the big path.
+
+        Periodic AIR columns repeat every period * F/O points on the FRI
+        coset, which divides the chunk length, so ONE tile serves every
+        chunk (the full-path _constants_codewords would materialize w
+        full (8, F) codewords — 8 GB at F = 2^26 for Rescue-Prime).
+        """
+        o = self.omicron_domain_length
+        f = self.fri_domain_length
+        if not hasattr(self.air, "periodic_columns"):
+            cols = self.air.constant_columns(o)
+            if cols:
+                raise NotImplementedError(
+                    "big-domain path supports periodic or empty constant "
+                    "columns only (dense columns would need chunked LDEs)"
+                )
+            return []
+        period, coeffs = self._periodic_coeffs()
+        small = period * f // o
+        if blk % small:
+            raise ValueError("chunk length must be a multiple of the tile")
+        step = o // period
+        a = pow(self.offset, step, PRIME)
+        apow = [pow(a, d, PRIME) for d in range(period)]
+        out = []
+        for q in coeffs:
+            scaled = [q[d] * apow[d] % PRIME for d in range(period)]
+            scaled += [0] * (small - period)
+            block = host_ntt(scaled)
+            tile = jnp.asarray(
+                ints_to_limbs([v * R_MOD_P % PRIME for v in block])
+            )
+            while tile.shape[-1] < blk:
+                tile = jnp.concatenate([tile, tile], axis=1)
+            out.append(tile)
+        return out
+
+    def _bq_domain_chunk(self, t_lde, bps, c: int, blk: int, base_tab):
+        """Montgomery boundary-quotient values for domain chunk c.
+
+        Pure pointwise math on one chunk — the big path calls this twice
+        per chunk of the domain (once streaming to host + commit, once
+        inside the combination loop) rather than ever holding the full
+        (8, F) quotients on device. Chunk values are independent of the
+        chunk decomposition (exact field math, unique batch inverses).
+        """
+        w = len(t_lde)
+        sl = slice(c * blk, (c + 1) * blk)
+        start_scalar = self.offset * pow(self.omega, c * blk, PRIME) % PRIME
+        xc = fp.mont_mul(base_tab, _const_mont(start_scalar, blk))
+        zs, bcs = [], []
+        for j in range(w):
+            bp = bps[j]
+            acc = _const_mont(bp["interpolant"][0], blk)
+            xp = xc
+            for d, coeff in enumerate(bp["interpolant"][1:], start=1):
+                acc = fp.add(acc, fp.mont_mul(_const_mont(coeff, blk), xp))
+                if d + 1 < len(bp["interpolant"]):
+                    xp = fp.mont_mul(xp, xc)
+            bcs.append(acc)
+            z = _const_mont(1, blk)
+            for r in bp["roots"]:
+                z = fp.mont_mul(z, fp.sub(xc, _const_mont(r, blk)))
+            zs.append(z)
+        prefix = [zs[0]]
+        for it in zs[1:]:
+            prefix.append(fp.mont_mul(prefix[-1], it))
+        inv_run = fp.inv(prefix[-1])
+        invs: List = [None] * w
+        for i in range(w - 1, 0, -1):
+            invs[i] = fp.mont_mul(inv_run, prefix[i - 1])
+            inv_run = fp.mont_mul(inv_run, zs[i])
+        invs[0] = inv_run
+        return [
+            fp.mont_mul(fp.sub(t_lde[j][:, sl], bcs[j]), invs[j])
+            for j in range(w)
+        ]
+
+    def _boundary_commit_chunked(self, t_lde, bps):
+        """Boundary quotients streamed to HOST + pair-leaf commit, fused
+        over chunks (big path).
+
+        Pair leaf k of the bq tree packs domain rows k and k + F/2, so
+        the loop walks MIRRORED chunk pairs: compute the bq values of
+        domain chunks c and c + n_chunks/2, hand them to the streaming
+        committer (device hashing, host-resident levels), and store both
+        chunks into host numpy buffers. The full quotients never occupy
+        device HBM; the later phases that need them re-derive chunks from
+        t_lde (_bq_domain_chunk) or read the host arrays (query phase).
+        Values are bit-identical to the fused path (pointwise exactness).
+        """
+        from stark_anatomy_tpu.iop.merkle import ChunkedPairCommit
+
+        f = self.fri_domain_length
+        w = len(t_lde)
+        blk = self._big_chunk_len()
+        n_chunks = f // blk
+        if n_chunks % 2:
+            raise ValueError("big path needs an even number of chunks")
+        base_tab = nttmod.powers(self.omega, blk)
+        bq_host = [np.empty((8, f), dtype=np.uint32) for _ in range(w)]
+        # Toy domains (tests force the big path on): same streaming
+        # semantics, ordinary fused commit at the end.
+        builder = ChunkedPairCommit(blk, 32 * w) if blk >= 2048 else None
+        half_chunks = n_chunks // 2
+        for k in range(half_chunks):
+            lo_m = self._bq_domain_chunk(t_lde, bps, k, blk, base_tab)
+            hi_m = self._bq_domain_chunk(
+                t_lde, bps, k + half_chunks, blk, base_tab
+            )
+            lo = [fp.from_mont(q) for q in lo_m]
+            hi = [fp.from_mont(q) for q in hi_m]
+            if builder is not None:
+                builder.add(lo + hi)
+            for j in range(w):
+                bq_host[j][:, k * blk : (k + 1) * blk] = np.asarray(lo[j])
+                bq_host[j][
+                    :, (k + half_chunks) * blk : (k + half_chunks + 1) * blk
+                ] = np.asarray(hi[j])
+        if builder is not None:
+            return bq_host, builder.finish(bq_host)
+        from stark_anatomy_tpu.iop.merkle import commit_columns_fused
+
+        tree = commit_columns_fused(bq_host, pair=True)
+        return bq_host, tree
+
+    def _comb_chunked(self, t_lde, zk_standard, weights, bps, o, f, e, w):
+        """Transition quotients + weighted combination, chunked.
+
+        Chunk c consumes slices of t_lde/zk plus shared chunk-sized
+        constant and x^shift tables (per-chunk scalar rotations of one
+        base table). Boundary-quotient terms are RE-DERIVED per chunk
+        from t_lde (_bq_domain_chunk — ~10 pointwise passes, identical
+        Montgomery values to the committed host copies), so the 4 GB of
+        full quotients never sit in HBM here. The transition-zerofier
+        inverse is likewise evaluated in-chunk: a scanned-Horner jit over
+        the ~100 excluded-row coefficients times the tiled periodic
+        denominator inverse. Chunks land in a donated preallocated
+        output buffer.
+        """
+        blk = self._big_chunk_len()
+        n_chunks = f // blk
+        degrees = [self.transition_quotient_degree] * self.air.num_constraints + [
+            o - 1 - len(bps[j]["roots"]) for j in range(w)
+        ]
+        shifts = [self.degree_target - deg for deg in degrees]
+        distinct = sorted({s for s in shifts if s})
+        shift_tabs = {
+            s: nttmod.powers(pow(self.omega, s, PRIME), blk) for s in distinct
+        }
+        const_chunk = self._constant_chunks(blk)
+        excl_m = jnp.asarray(
+            ints_to_limbs(
+                [c * R_MOD_P % PRIME for c in self._excluded_coeffs()]
+            ).T.copy()
+        )  # (k, 8) Montgomery coefficient rows, low-order first
+        dinv_blk = self._denom_inv_tile()
+        while dinv_blk.shape[-1] < blk:
+            dinv_blk = jnp.concatenate([dinv_blk, dinv_blk], axis=1)
+        base_tab = nttmod.powers(self.omega, blk)
+        out = jnp.zeros((8, f), dtype=jnp.uint32)
+        for c in range(n_chunks):
+            sl = slice(c * blk, (c + 1) * blk)
+            start_scalar = self.offset * pow(self.omega, c * blk, PRIME) % PRIME
+            xc = fp.mont_mul(base_tab, _const_mont(start_scalar, blk))
+            ztc = fp.mont_mul(_horner_chunk_jit(excl_m, xc), dinv_blk)
+            cur = [t[:, sl] for t in t_lde]
+            nxt = [self._rolled_slice(t, c * blk + e, blk) for t in t_lde]
+            cons = list(self.air.eval_transition_device(cur, nxt, const_chunk))
+            terms = [fp.mont_mul(con, ztc) for con in cons]
+            terms += self._bq_domain_chunk(t_lde, bps, c, blk, base_tab)
+            comb_c = fp.to_mont(zk_standard[:, sl])
+            for t_idx, s in enumerate(shifts):
+                alpha, beta = weights[2 * t_idx], weights[2 * t_idx + 1]
+                lift = _const_mont(alpha, blk)
+                if s:
+                    sc = (
+                        pow(self.offset, s, PRIME)
+                        * pow(self.omega, s * c * blk, PRIME)
+                        % PRIME
+                    )
+                    xs = fp.mont_mul(shift_tabs[s], _const_mont(sc, blk))
+                    lift = fp.add(lift, fp.mont_mul(_const_mont(beta, blk), xs))
+                else:
+                    lift = fp.add(lift, _const_mont(beta, blk))
+                comb_c = fp.add(comb_c, fp.mont_mul(lift, terms[t_idx]))
+            del cur, nxt, cons, terms, ztc, xc
+            out = _place_chunk(out, comb_c, c * blk)
+            if f >= _BIG_F_MIN:
+                # Serialize chunks: the ~20 transient chunk arrays of two
+                # queued iterations overlap under async dispatch and OOM.
+                _sync(out)
+        t_lde.clear()
+        return out
+
+    def _prove_big(
+        self, ps, trace, as_bytes, boundary, o, f, e, w, _randomizer,
+        randomizer_seed, checkpoint_dir, ckpt_meta,
+    ):
+        """Chunked single-chip prover for F >= _BIG_F_MIN (see the
+        constant's comment for why the fused path cannot run here).
+
+        HBM ledger at F = 2^26, w = 2 (one (8, F) limb codeword = 2 GB):
+        zk runs FIRST (its coset-NTT transient is the largest single
+        allocation, so it gets the empty chip; the transcript still
+        pushes bq_root before zk_root — the zk codeword depends only on
+        the seed, never on the transcript); then trace-LDE (standing 2
+        zk+4 t_lde), chunked boundary (+4 bq, +2 zt, excl transient),
+        bq commit with levels offloaded to host as built, chunked
+        quotients+combination (+2 comb, t_lde freed before assembly),
+        then the standard offload path into FRI. Peak ~14 GB.
+        """
+        bps = self._boundary_polys(boundary)
+        if fp._on_tpu():
+            # Build + cache the Pallas twiddle stage tables while HBM is
+            # empty: their construction round-trips a master table
+            # through the host, and overlapping that transient with the
+            # zk chain's own working set OOMed at F = 2^26. Only the
+            # SUB-transform size is ever needed — big-domain coset
+            # evaluations run decimated (ops/ntt.py), so the F-point
+            # tables (2.1 GB at 2^26) are never built.
+            from stark_anatomy_tpu.ops import ntt_pallas as ntp
+            from stark_anatomy_tpu.ops.ntt import _COSET_MONO_MAX
+
+            with phase("prove.twiddle-tables"):
+                ntp._stage_tables(min(f, _COSET_MONO_MAX >> 1), False)
+                ntp._stage_tables(o, True)
+        with phase("prove.zk-randomizer"):
+            zk_standard = self._zk_codeword(randomizer_seed)
+            # Retire the coset-NTT transients before the commit graph
+            # asks for its own working set — async dispatch would let
+            # both peaks coexist (observed OOM at F = 2^26).
+            _sync(zk_standard)
+            zk_tree = self._commit_codewords([zk_standard], pair=True)
+            zk_tree.offload_to_host()
+            zk_tree.replace_leaf_columns([zk_standard])
+        with phase("prove.trace-lde"):
+            t_lde = self._trace_lde(trace, as_bytes, o, w, _randomizer)
+            _sync(t_lde[-1])
+        with phase("prove.boundary-quotients"):
+            # Quotients stream to HOST while being committed chunk-wise
+            # (the full 4 GB of quotients + a commit working set on top
+            # of t_lde/zk cannot fit device HBM at F = 2^26).
+            bq_standard, bq_tree = self._boundary_commit_chunked(t_lde, bps)
+        ps.push({"bq_root": digest_to_item(bq_tree.root)})
+        ps.push({"zk_root": digest_to_item(zk_tree.root)})
+        n_terms = self.air.num_constraints + w
+        weights = sample_weights(ps.prover_fiat_shamir(), 2 * n_terms)
+        with phase("prove.quotients-combination"):
+            comb = self._comb_chunked(
+                t_lde, zk_standard, weights, bps, o, f, e, w,
+            )
+            _sync(comb)
+        return self._after_combination(
+            ps, comb, bq_standard, bq_tree, zk_standard, zk_tree, f, e,
+            checkpoint_dir, ckpt_meta, w,
+        )
+
     def _commit_codewords(self, columns, pair: bool = False) -> MerkleTree:
         """Merkle-commit standard-form codeword columns (mesh-aware).
 
@@ -1065,12 +1427,22 @@ class Stark:
             impl="threefry2x32",
         )
         raw = jax.random.bits(key, (16, n), dtype=jnp.uint32) & jnp.uint32(0xFFFF)
+        # hi*2^128 + lo mod p: multiplying by 2^128 IS the Montgomery
+        # lift, so the recombination is one to_mont + one add — same
+        # values as the previous full multiply by the 2^128 constant. On
+        # TPU these route through the VMEM-tiled Pallas kernels (m = fp):
+        # each eager full-tensor fj multiply materializes ~50 limb planes
+        # of XLA temp, and the queued chain of them OOMed F = 2^26.
+        m = fp if fp._on_tpu() else fj
         z = fj.zeros((n,))
-        lo = fj.add(raw[:8], z)
-        hi = fj.add(raw[8:], z)
-        c128 = fj.full((n,), pow(2, 128, PRIME))
-        coeffs = fj.add(fj.mul(hi, c128), lo)
-        cw = nttmod.coset_evaluate(fj.to_mont(coeffs), f, self.offset)
+        lo = m.add(raw[:8], z)
+        hi = m.add(raw[8:], z)
+        coeffs = m.to_mont(m.add(m.to_mont(hi), lo))
+        if f >= _BIG_F_MIN:
+            # Retire the draw/recombine transients before the coset NTT
+            # reserves its working set (async queueing stacks the peaks).
+            _sync(coeffs)
+        cw = nttmod.coset_evaluate(coeffs, f, self.offset)
         return self._shard(fp.from_mont(cw))
 
     def _zk_dispatch_fused(self, seed: bytes):
@@ -1138,8 +1510,16 @@ class Stark:
             # — the mesh-tuned table kernels lose the single-device
             # transform's layout pipelining at full size. The eager chain
             # already overlaps column uploads with transforms (async
-            # dispatch), which is what matters over the device link.
-            return [self.column_lde_limbs(_words_to_limbs_jit(wd)) for wd in wds]
+            # dispatch), which is what matters over the device link. At
+            # big domains the columns are SERIALIZED instead: two queued
+            # 2^26-point transform working sets overlap and OOM.
+            out = []
+            for wd in wds:
+                cw = self.column_lde_limbs(_words_to_limbs_jit(wd))
+                if self.fri_domain_length >= _BIG_F_MIN:
+                    _sync(cw)
+                out.append(cw)
+            return out
         rows = [[int(v) % PRIME for v in row] for row in trace]
         for r in range(t_len, o):
             rows.append([_randomizer(r, j) for j in range(w)])

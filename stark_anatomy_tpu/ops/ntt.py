@@ -264,17 +264,94 @@ def intt(evals_mont: jax.Array) -> jax.Array:
     return intt_jnp(evals_mont)
 
 
+#: Above this coset-evaluation domain, TPU runs switch to the decimated
+#: form (coset_evaluate_decimated): the monolithic Pallas transform at
+#: 2^26 needs ~11 GB of HBM by itself (measured by ballast probing —
+#: input + 2.1 GB of stage tables + bit-reversal/stage transients), which
+#: cannot coexist with ANY prover state on a 16 GB chip.
+_COSET_MONO_MAX = 1 << 25
+
+
+def coset_evaluate_decimated(
+    coeffs_mont: jax.Array,
+    domain_len: int,
+    offset: int,
+    sub_max: int = 1 << 24,
+    chunk: int = 1 << 23,
+) -> jax.Array:
+    """coset_evaluate via input decimation — big domains, bounded HBM.
+
+    With S = domain_len / sub_max: P(x) = sum_{j<S} x^j * P_j(x^S), and
+    on the coset x_k = offset * w^k the argument x_k^S = offset^S *
+    (w^S)^k is sub_max-PERIODIC in k (w^S has order sub_max), so each
+    P_j evaluates with one ordinary sub_max-point coset transform and
+    the outer sum is a chunked Horner in x. Identical field values to
+    the monolithic transform (exact polynomial identity, canonical
+    Montgomery representatives — pinned by tests), but the largest
+    allocation is one sub_max transform (+ the S stored sub-evals),
+    ~5 GB at L = 2^26 instead of ~11, and the L-point stage tables are
+    never built.
+    """
+    from stark_anatomy_tpu.ops import field_pallas as _fp
+    from stark_anatomy_tpu.ops.limbs import int_to_limbs as _itl
+
+    L = domain_len
+    n = coeffs_mont.shape[-1]
+    s = L // sub_max
+    if s <= 1:
+        return coset_evaluate(coeffs_mont, domain_len, offset)
+    if chunk > sub_max:
+        chunk = sub_max
+    off_s = pow(offset, s, PRIME)
+    subs = []
+    for j in range(s):
+        pj = coeffs_mont[:, j::s]
+        subs.append(coset_evaluate(pj, sub_max, off_s))
+        # Serialize sub-transforms: queued transforms stack their
+        # transient working sets (async dispatch) and OOM.
+        np.asarray(subs[-1][:1, :1])
+    w = primitive_root_of_unity(L)
+    base = powers(w, chunk)
+
+    def _cm(value: int) -> jax.Array:
+        c = jnp.asarray(_itl(value * (1 << 128) % PRIME), dtype=jnp.uint32)
+        return jnp.broadcast_to(c.reshape(8, 1), (8, chunk))
+
+    parts = []
+    for c in range(L // chunk):
+        sc = offset * pow(w, c * chunk, PRIME) % PRIME
+        xc = _fp.mont_mul(base, _cm(sc))
+        m0 = (c * chunk) % sub_max
+        sl = slice(m0, m0 + chunk)
+        acc = subs[s - 1][:, sl]
+        for j in range(s - 2, -1, -1):
+            acc = _fp.add(_fp.mont_mul(acc, xc), subs[j][:, sl])
+        parts.append(acc)
+    del subs
+    return jnp.concatenate(parts, axis=1)
+
+
 def coset_evaluate(coeffs_mont: jax.Array, domain_len: int, offset: int) -> jax.Array:
     """Evaluate a polynomial on the coset offset*<omega_L>, L = domain_len.
 
     coeffs may be shorter than L (zero-padded). Returns (8, L) evaluations,
-    eval[i] = P(offset * omega_L^i), Montgomery form.
+    eval[i] = P(offset * omega_L^i), Montgomery form. Domains past
+    _COSET_MONO_MAX on TPU route through the decimated form (same values).
     """
     n = coeffs_mont.shape[-1]
     if n > domain_len:
         raise ValueError("polynomial longer than the target domain")
+    from stark_anatomy_tpu.ops import field_pallas as _fp_gate
+
+    if domain_len > _COSET_MONO_MAX and _fp_gate._on_tpu():
+        return coset_evaluate_decimated(coeffs_mont, domain_len, offset)
     off = powers(offset, n)
-    scaled = fj.mont_mul(coeffs_mont, off)
+    # field_pallas.mont_mul: VMEM-tiled on TPU (the full-tensor fj
+    # multiply materializes ~50 limb planes of XLA temp — 3 GB at
+    # n = 2^24), transparent fj fallback elsewhere; identical values.
+    from stark_anatomy_tpu.ops import field_pallas as _fp
+
+    scaled = _fp.mont_mul(coeffs_mont, off)
     if n < domain_len:
         pad = fj.zeros((domain_len - n,))
         scaled = jnp.concatenate([scaled, pad], axis=1)

@@ -244,3 +244,31 @@ def test_multiproof_round_trip_and_strictness():
     # empty set and out-of-range rejected
     assert not verify_multiproof(tree.root, {}, [], height)
     assert not verify_multiproof(tree.root, {256: bytes(64)}, [], height)
+
+
+def test_commit_columns_chunked_matches_fused_pair():
+    # Big-path chunked commit (host-resident levels): identical root and
+    # opening paths to the one-graph pair commit.
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stark_anatomy_tpu.iop.merkle import (
+        commit_columns_chunked,
+        commit_columns_fused,
+    )
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    rng = np.random.default_rng(11)
+    cols = [jnp.asarray(random_felt_limbs(rng, (1 << 13,))) for _ in range(2)]
+    want = commit_columns_fused(cols, pair=True)
+    got = commit_columns_chunked(cols, chunk_leaves=2048)  # 2 chunks
+    assert got.root == want.root
+    assert got.num_leaves == want.num_leaves == 1 << 12
+    for i in (0, 1, 2047, 2048, 4095):
+        assert got.open(i) == want.open(i)
+    # tiny-tree fallback path
+    small = [c[:, :256] for c in cols]
+    assert (
+        commit_columns_chunked(small).root
+        == commit_columns_fused(small, pair=True).root
+    )

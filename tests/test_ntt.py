@@ -110,3 +110,26 @@ def test_zerofier_and_interpolate_host():
     assert z.evaluate(2) != 0
     q, r = (p * z).divmod(z)
     assert r.is_zero() and q == p
+
+
+def test_coset_evaluate_decimated_matches_monolithic():
+    # Big-domain evaluation path (ops/ntt.py coset_evaluate_decimated):
+    # P(x) = sum_j x^j P_j(x^S) with periodic sub-evaluations must be
+    # bit-exact vs the monolithic transform for several split shapes.
+    import numpy as np
+    import jax.numpy as jnp
+
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import ntt as nttmod
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    rng = np.random.default_rng(3)
+    coeffs = fj.to_mont(jnp.asarray(random_felt_limbs(rng, (1 << 8,))))
+    mono = np.asarray(nttmod.coset_evaluate(coeffs, 1 << 12, 3))
+    for sub_max, chunk in [(1 << 10, 1 << 9), (1 << 9, 1 << 10), (1 << 11, 1 << 11)]:
+        deci = np.asarray(
+            nttmod.coset_evaluate_decimated(
+                coeffs, 1 << 12, 3, sub_max=sub_max, chunk=chunk
+            )
+        )
+        assert np.array_equal(mono, deci), (sub_max, chunk)

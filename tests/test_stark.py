@@ -199,6 +199,35 @@ def test_fused_path_identical_proof(monkeypatch):
     )
 
 
+def test_big_chunked_path_identical_proof(monkeypatch):
+    # The chunked big-domain prover (Stark._prove_big, normally F >= 2^26
+    # where the fused mega-jits exceed HBM) must produce byte-identical
+    # proofs to the standard path — forced on via tiny thresholds. The
+    # chunk length is dropped to make several chunks at toy size.
+    from stark_anatomy_tpu.iop import stark as stark_mod
+
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    boundary = air.boundary_constraints(rp.hash(777))
+    want = Stark(air, expansion_factor=4, num_colinearity_checks=2).prove(
+        rp.trace(777), boundary, randomizer_seed=b"big"
+    )
+    monkeypatch.setattr(stark_mod, "_BIG_F_MIN", 1)
+    monkeypatch.setattr(stark_mod, "_BIG_CHUNK", 256)  # F=1024 -> 4 chunks
+    got = Stark(air, expansion_factor=4, num_colinearity_checks=2).prove(
+        rp.trace(777), boundary, randomizer_seed=b"big"
+    )
+    assert got == want
+    assert Stark(air, expansion_factor=4, num_colinearity_checks=2).verify(
+        got, boundary
+    )
+    # Bytes-trace (bulk) input through the big path too.
+    got_bytes = Stark(air, expansion_factor=4, num_colinearity_checks=2).prove(
+        rp.trace_bytes(777, chain_length=1), boundary, randomizer_seed=b"big"
+    )
+    assert got_bytes == want
+
+
 def test_security_accounting_profiles():
     # VERDICT r3 item 2: a stated, tested soundness derivation. The FRI
     # query term is q*log2(blowup) (+ grinding) conjectured and half that
@@ -221,6 +250,17 @@ def test_security_accounting_profiles():
 
     s128 = Stark.from_profile("production-128", air)
     assert s128.security_terms()["fri_queries"] == 56 * 2 + 16 == 128
+
+    # Honesty pin (docs/SOUNDNESS.md §3): at PRODUCTION domain sizes the
+    # overall conjectured level of production-128 is capped by the
+    # fold_sampling union term (~log2(p / (F * rounds))), not the query
+    # count — constructing the Stark is cheap (no proving happens here).
+    big = Stark.from_profile(
+        "production-128", RescuePrimeAir(rp, chain_length=32760)
+    )
+    assert big.fri_domain_length == 1 << 24
+    assert big.security_terms()["fri_queries"] == 128
+    assert big.security_level() == min(big.security_terms().values()) == 99
 
     # Every profile's stated (conjectured, proven) pair matches the formula.
     for name, params in PROFILES.items():
