@@ -583,13 +583,24 @@ class Fri:
 
     def _commit_one(self, standard):
         """Pair-leaf commitment of one codeword (grammar v3): leaf i =
-        hash(c[i] || c[i + n/2]) — exactly the pair every query opens."""
+        hash(c[i] || c[i + n/2]) — exactly the pair every query opens.
+
+        Codewords at/above 2^26 commit through the streaming chunked
+        builder (iop/merkle.py): the one-graph fused commit's working set
+        on top of the standing FRI state exceeds a 16 GB chip there, and
+        the tree is born host-resident (which the offload machinery would
+        do right after anyway)."""
         if self.mesh is not None:
             from stark_anatomy_tpu.parallel.merkle_sharded import commit_sharded
 
             return commit_sharded([standard], self.mesh, pair=True)
-        from stark_anatomy_tpu.iop.merkle import commit_columns_fused
+        from stark_anatomy_tpu.iop.merkle import (
+            commit_columns_chunked,
+            commit_columns_fused,
+        )
 
+        if int(standard.shape[-1]) >= (1 << 26):
+            return commit_columns_chunked([standard])
         return commit_columns_fused([standard], pair=True)
 
     def _emit_query_points(self, entry, proof_stream):

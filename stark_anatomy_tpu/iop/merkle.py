@@ -421,11 +421,18 @@ class ChunkedPairCommit:
     (pinned by tests/test_merkle.py).
     """
 
-    def __init__(self, chunk_leaves: int, msg_len: int):
+    def __init__(self, chunk_leaves: int, msg_len: int, prune_levels: int = 10):
         if chunk_leaves < 2048 or chunk_leaves & (chunk_leaves - 1):
             raise ValueError("chunk_leaves must be a power of two >= 2048")
         self.chunk_leaves = chunk_leaves
         self.msg_len = msg_len
+        # Merkle cap: levels 1..prune_levels are NEVER materialized to
+        # host — the bottom levels are ~all of a tree's bytes (a 2^25-leaf
+        # tree's levels below 11 hold ~2 GB of digests, its levels above
+        # ~130 MB), and openings rebuild the 2^prune-leaf subtree under a
+        # needed node from the leaf columns in ~1 ms
+        # (MerkleTree._subtree_digest). Roots/paths are unchanged.
+        self.prune_levels = min(prune_levels, chunk_leaves.bit_length() - 2)
         chunk_levels = chunk_leaves.bit_length() - 1
         # Stored chunk arrays are global levels 1..chunk_levels-1 (leaf
         # digests dropped; the chunk root is the chunk_levels-level node).
@@ -443,25 +450,30 @@ class ChunkedPairCommit:
         )
         lv = 1
         for p in plane:
-            arr = host_gather(p).astype("<u4")
-            arr = arr[:, bit_reverse_indices(arr.shape[1])].T
-            self._per_level[lv - 1].append(np.ascontiguousarray(arr))
+            if lv > self.prune_levels:
+                arr = host_gather(p).astype("<u4")
+                arr = arr[:, bit_reverse_indices(arr.shape[1])].T
+                self._per_level[lv - 1].append(np.ascontiguousarray(arr))
             lv += 1
         for r in rows:
-            self._per_level[lv - 1].append(host_gather(r).astype("<u4"))
+            if lv > self.prune_levels:
+                self._per_level[lv - 1].append(host_gather(r).astype("<u4"))
             lv += 1
         state = {"lv": lv}
 
         def sink(level_arr):
-            self._per_level[state["lv"] - 1].append(level_arr)
+            if state["lv"] > self.prune_levels:
+                self._per_level[state["lv"] - 1].append(level_arr)
             state["lv"] += 1
 
         self._chunk_roots.append(_host_reduce(host_gather(top).astype("<u4"), sink))
 
     def finish(self, leaf_columns: List) -> "MerkleTree":
         levels: List = [None]
-        for lvl in self._per_level:
-            levels.append(np.concatenate(lvl, axis=0))
+        for lv, arrays in enumerate(self._per_level, start=1):
+            levels.append(
+                np.concatenate(arrays, axis=0) if lv > self.prune_levels else None
+            )
         cur = np.concatenate(self._chunk_roots, axis=0)
         cur = _host_reduce(cur, lambda arr: levels.append(arr))
         levels.append(cur)
@@ -630,16 +642,13 @@ class MerkleTree:
 
     @property
     def num_leaves(self) -> int:
-        if self.levels[0] is None:
-            m = int(
-                self.levels[1].shape[1]
-                if 1 in self.plane_levels
-                else self.levels[1].shape[0]
-            )
-            return 2 * m
-        if 0 in self.plane_levels:
-            return int(self.levels[0].shape[1])
-        return int(self.levels[0].shape[0])
+        for lvl, arr in enumerate(self.levels):
+            if arr is not None:
+                m = int(
+                    arr.shape[1] if lvl in self.plane_levels else arr.shape[0]
+                )
+                return m << lvl
+        raise ValueError("tree has no materialized levels")
 
     def _leaf_digests(self, indices: List[int]) -> List[bytes]:
         """Recompute leaf digests from the codeword columns (dropped-leaf
@@ -673,13 +682,35 @@ class MerkleTree:
             out.append(hashlib.blake2b(msg, digest_size=64).digest())
         return out
 
+    def _subtree_digest(self, level: int, index: int) -> bytes:
+        """Node digest of a PRUNED level, recomputed from the leaf columns.
+
+        Levels below the stored cut (Merkle cap scheme — the chunked
+        big-domain commit prunes its bottom ~10 levels, iop/merkle.py
+        ChunkedPairCommit) are never materialized; an opening rebuilds
+        the 2^level-leaf subtree under the needed node: one batched leaf
+        gather + hashlib upward. ~1 ms per node at the default cut.
+        """
+        lo = index << level
+        digs = self._leaf_digests(list(range(lo, lo + (1 << level))))
+        while len(digs) > 1:
+            digs = [
+                hashlib.blake2b(digs[2 * i] + digs[2 * i + 1], digest_size=64).digest()
+                for i in range(len(digs) // 2)
+            ]
+        return digs[0]
+
     def _fetch(self, level: int, index: int) -> bytes:
         """Digest levels[level][index] as host bytes (batched-gather cache)."""
         key = (level, index)
         if key not in self._fetch_cache:
             arr = self.levels[level]
             if arr is None:
-                self._fetch_cache[key] = self._leaf_digests([index])[0]
+                self._fetch_cache[key] = (
+                    self._leaf_digests([index])[0]
+                    if level == 0
+                    else self._subtree_digest(level, index)
+                )
             elif level in self.plane_levels:
                 from stark_anatomy_tpu.parallel.mesh import host_gather
 
@@ -714,8 +745,14 @@ class MerkleTree:
             if not need:
                 continue
             if arr is None:
-                for i, d in zip(need, self._leaf_digests(need)):
-                    self._fetch_cache[(level, i)] = d
+                if level == 0:
+                    for i, d in zip(need, self._leaf_digests(need)):
+                        self._fetch_cache[(level, i)] = d
+                else:  # pruned level: rebuild each needed subtree
+                    for i in need:
+                        self._fetch_cache[(level, i)] = self._subtree_digest(
+                            level, i
+                        )
                 continue
             plane = level in self.plane_levels
             lanes = (

@@ -264,8 +264,14 @@ def test_commit_columns_chunked_matches_fused_pair():
     got = commit_columns_chunked(cols, chunk_leaves=2048)  # 2 chunks
     assert got.root == want.root
     assert got.num_leaves == want.num_leaves == 1 << 12
+    # Merkle cap: the bottom prune_levels are not materialized; opens
+    # rebuild those siblings from the leaf columns (iop/merkle.py).
+    assert got.levels[1] is None and got.levels[10] is None
+    assert got.levels[11] is not None
     for i in (0, 1, 2047, 2048, 4095):
         assert got.open(i) == want.open(i)
+    opened = sorted({0, 5, 2048, 4095})
+    assert got.open_multi(opened) == want.open_multi(opened)
     # tiny-tree fallback path
     small = [c[:, :256] for c in cols]
     assert (
