@@ -240,8 +240,13 @@ def test_item_to_felt_rejects_noncanonical_reencodings(value: int, prefix: str):
         item_to_felt(item)
 
 
+_B64_ALPHABET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/="
+)
+
+
 @settings(**SETTINGS)
-@given(item=st.text(alphabet=_FUZZ_ALPHABET, min_size=0, max_size=140))
+@given(item=st.text(alphabet=_B64_ALPHABET, min_size=0, max_size=96))
 def test_item_to_digest_canonical_or_raise(item: str):
     from stark_anatomy_tpu.utils.encoding import digest_to_item, item_to_digest
 
@@ -251,6 +256,31 @@ def test_item_to_digest_canonical_or_raise(item: str):
         return
     assert len(digest) == 64
     assert digest_to_item(digest) == item
+
+
+@settings(**SETTINGS)
+@given(data=st.binary(min_size=64, max_size=64), pos=st.integers(0, 87))
+def test_item_to_digest_perturbed_encodings(data: bytes, pos: int):
+    """Perturbing any character of a VALID digest item either raises or
+    decodes to a digest whose canonical re-encoding is the perturbed
+    string itself (impossible for pad positions, possible only for a
+    same-length alphabet swap that changes the digest — never a second
+    encoding of the SAME digest)."""
+    import base64
+
+    from stark_anatomy_tpu.utils.encoding import digest_to_item, item_to_digest
+
+    item = base64.b64encode(data).decode()
+    swap = "B" if item[pos] != "B" else "C"
+    mutated = item[:pos] + swap + item[pos + 1 :]
+    if mutated == item:
+        return
+    try:
+        decoded = item_to_digest(mutated)
+    except ValueError:
+        return
+    assert decoded != data  # accepted => genuinely different digest
+    assert digest_to_item(decoded) == mutated
 
 
 @settings(**SETTINGS)
