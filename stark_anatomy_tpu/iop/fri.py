@@ -69,6 +69,12 @@ from stark_anatomy_tpu.utils.encoding import (
 )
 
 
+#: codeword length at/above which _commit_one streams through the chunked
+#: host-resident committer (iop/merkle.py) instead of the one-graph fused
+#: commit — see _commit_one. Module-level so tests can force the branch.
+_CHUNKED_COMMIT_MIN = 1 << 26
+
+
 def _const_mont(value: int, n: int) -> jnp.ndarray:
     """(8, n) broadcast of a host int in Montgomery form."""
     c = jnp.asarray(int_to_limbs(value * R_MOD_P % PRIME), dtype=jnp.uint32)
@@ -599,7 +605,7 @@ class Fri:
             commit_columns_fused,
         )
 
-        if int(standard.shape[-1]) >= (1 << 26):
+        if int(standard.shape[-1]) >= _CHUNKED_COMMIT_MIN:
             return commit_columns_chunked([standard])
         return commit_columns_fused([standard], pair=True)
 

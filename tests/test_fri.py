@@ -232,3 +232,37 @@ def test_fused_fri_round_identical_transcript(monkeypatch):
     assert ps_fused.serialize() == ps_eager.serialize()
     ok, _ = fri.verify(ProofStream.deserialize(ps_fused.serialize()))
     assert ok
+
+
+def test_fri_chunked_commit_branch_bit_identical(monkeypatch):
+    # The >= _CHUNKED_COMMIT_MIN branch of Fri._commit_one (streamed
+    # host-resident commit, used at F >= 2^26 on hardware) must produce
+    # the same transcript bytes as the fused commit — forced on here.
+    from stark_anatomy_tpu.iop import fri as fri_mod
+    from stark_anatomy_tpu.iop.proof_stream import ProofStream
+    from stark_anatomy_tpu.ops import field_jnp as fj
+    from stark_anatomy_tpu.ops import ntt as nttmod
+    from stark_anatomy_tpu.ops.limbs import random_felt_limbs
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 1 << 13
+    rng = np.random.default_rng(5)
+    coeffs = fj.to_mont(jnp.asarray(random_felt_limbs(rng, (n // 4,))))
+    cw = nttmod.coset_evaluate(coeffs, n, 3)
+    fri = fri_mod.Fri(
+        offset=3, domain_length=n, expansion_factor=4, num_colinearity_tests=4
+    )
+    ps = ProofStream()
+    fri.prove(cw, ps)
+    want = ps.serialize()
+    # chunk_leaves floor is 2048, so a 2^13 codeword (2^12 pair leaves)
+    # splits into 2 chunks once the threshold is forced down.
+    monkeypatch.setattr(fri_mod, "_CHUNKED_COMMIT_MIN", 1 << 13)
+    ps2 = ProofStream()
+    fri.prove(cw, ps2)
+    got = ps2.serialize()
+    assert got == want
+    ok, _ = fri.verify(ProofStream.deserialize(got))
+    assert ok
