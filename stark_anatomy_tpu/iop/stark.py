@@ -963,11 +963,25 @@ class Stark:
             if loaded is not None:
                 ps = ProofStream(loaded["items"])
                 comb = jnp.asarray(loaded["arrays"]["comb"])
-                bq_standard = [
-                    jnp.asarray(loaded["arrays"][f"bq{j}"])
-                    for j in range(self.num_registers)
-                ]
-                bq_tree = self._commit_codewords(bq_standard, pair=True)
+                if self.fri_domain_length >= _BIG_F_MIN and self.mesh is None:
+                    # Big domains: quotients stay HOST numpy and the
+                    # re-commit streams chunk-wise (the fused commit of
+                    # 4 GB of columns would OOM the chip; see _prove_big).
+                    from stark_anatomy_tpu.iop.merkle import (
+                        commit_columns_chunked,
+                    )
+
+                    bq_standard = [
+                        loaded["arrays"][f"bq{j}"]
+                        for j in range(self.num_registers)
+                    ]
+                    bq_tree = commit_columns_chunked(bq_standard)
+                else:
+                    bq_standard = [
+                        jnp.asarray(loaded["arrays"][f"bq{j}"])
+                        for j in range(self.num_registers)
+                    ]
+                    bq_tree = self._commit_codewords(bq_standard, pair=True)
                 zk_standard = jnp.asarray(loaded["arrays"]["zk"])
                 zk_tree = self._commit_codewords([zk_standard], pair=True)
                 return self._fri_and_open(

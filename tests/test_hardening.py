@@ -182,3 +182,26 @@ def test_mid_fri_kill_resume(tmp_path, monkeypatch):
     # last snapshot) plus the live folds for the remaining rounds.
     rounds = stark.fri.num_rounds
     assert resumed["n"] == rounds - 3
+
+
+def test_big_path_checkpoint_resume_identical(tmp_path, monkeypatch):
+    # The chunked big-domain prover must checkpoint and RESUME through the
+    # chunked re-commit path (host-resident quotients) with identical
+    # bytes — forced on at toy size.
+    from stark_anatomy_tpu.iop import stark as stark_mod
+    from stark_anatomy_tpu.models.rescue_prime import RescuePrime, RescuePrimeAir
+
+    rp = RescuePrime()
+    air = RescuePrimeAir(rp, chain_length=1)
+    boundary = air.boundary_constraints(rp.hash(31337))
+    trace = rp.trace(31337)
+    monkeypatch.setattr(stark_mod, "_BIG_F_MIN", 1)
+    monkeypatch.setattr(stark_mod, "_BIG_CHUNK", 256)
+    stark = stark_mod.Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    d = str(tmp_path)
+    p1 = stark.prove(trace, boundary, randomizer_seed=b"bigck", checkpoint_dir=d)
+    # Second call resumes from the pre-FRI snapshot (chunked re-commit).
+    stark2 = stark_mod.Stark(air, expansion_factor=4, num_colinearity_checks=2)
+    p2 = stark2.prove(trace, boundary, randomizer_seed=b"bigck", checkpoint_dir=d)
+    assert p1 == p2
+    assert stark.verify(p1, boundary)
